@@ -1,0 +1,184 @@
+"""Fixed-capacity masked 2D point-normal clouds — the TPU data model.
+
+The reference's ``PointNormal2fVectorCloud`` (srrg_pcl) resizes dynamically
+(e.g. mapping/merger_projective_2d.cpp:31-33, sensor_processing/
+raw_data_preprocessor_projective_2d.cpp:36-47). XLA needs static shapes, so the
+TPU-native model is capacity + validity mask: a ``Cloud`` always carries
+``capacity`` rows; invalid rows are masked out of every kernel. Compaction
+(the analog of ``resize``/``emplace_back``) is a prefix-sum scatter.
+
+All ops are pure functions over a pytree, jit/vmap-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry
+
+Array = jax.Array
+
+
+class Cloud(NamedTuple):
+    """Masked point cloud with per-point normals.
+
+    xy:     [N, 2] float32 coordinates
+    normal: [N, 2] float32 unit normals (zero where unknown)
+    valid:  [N]    bool    row validity (the reference's POINT_STATUS::Valid)
+    """
+
+    xy: Array
+    normal: Array
+    valid: Array
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+    def count(self) -> Array:
+        return jnp.sum(self.valid, axis=-1)
+
+
+def empty(capacity: int, dtype=jnp.float32) -> Cloud:
+    return Cloud(
+        xy=jnp.zeros((capacity, 2), dtype),
+        normal=jnp.zeros((capacity, 2), dtype),
+        valid=jnp.zeros((capacity,), jnp.bool_),
+    )
+
+
+def from_numpy(xy, normal=None, valid=None, capacity: int | None = None) -> Cloud:
+    """Build a Cloud from host arrays, padding to ``capacity``."""
+    xy = jnp.asarray(xy, jnp.float32)
+    n = xy.shape[0]
+    if capacity is None:
+        capacity = n
+    if normal is None:
+        normal = jnp.zeros_like(xy)
+    else:
+        normal = jnp.asarray(normal, jnp.float32)
+    if valid is None:
+        valid = jnp.ones((n,), jnp.bool_)
+    else:
+        valid = jnp.asarray(valid, jnp.bool_)
+    pad = capacity - n
+    if pad < 0:
+        raise ValueError(f"capacity {capacity} < number of points {n}")
+    if pad:
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        normal = jnp.pad(normal, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    return Cloud(xy, normal, valid)
+
+
+def transform(cloud: Cloud, pose: Array) -> Cloud:
+    """Rigid transform of coordinates and normals (transformInPlace<Isometry>)."""
+    return Cloud(
+        xy=geometry.transform_points(pose, cloud.xy),
+        normal=geometry.rotate_vectors(pose, cloud.normal),
+        valid=cloud.valid,
+    )
+
+
+def compact(cloud: Cloud) -> Cloud:
+    """Move all valid points to the front (stable), preserving order.
+
+    The TPU analog of the reference's copy-only-Valid loop
+    (raw_data_preprocessor_projective_2d.cpp:42-47): a prefix-sum over the
+    validity mask gives each valid point its output slot; one scatter moves it.
+    """
+    n = cloud.capacity
+    slot = jnp.cumsum(cloud.valid.astype(jnp.int32)) - 1  # output row per valid pt
+    dest = jnp.where(cloud.valid, slot, n)  # invalid -> dropped (row n)
+    xy = jnp.zeros((n + 1, 2), cloud.xy.dtype).at[dest].set(cloud.xy)[:n]
+    normal = jnp.zeros((n + 1, 2), cloud.normal.dtype).at[dest].set(cloud.normal)[:n]
+    count = jnp.sum(cloud.valid)
+    valid = jnp.arange(n) < count
+    return Cloud(xy, normal, valid)
+
+
+def concat(a: Cloud, b: Cloud, capacity: int | None = None) -> Cloud:
+    """Concatenate two clouds (compacted), optionally re-padding to capacity."""
+    a, b = compact(a), compact(b)
+    na = a.count()
+    cap = capacity if capacity is not None else a.capacity + b.capacity
+    out = empty(cap)
+    idx_a = jnp.arange(a.capacity)
+    dest_a = jnp.where(a.valid, idx_a, cap)
+    idx_b = jnp.arange(b.capacity)
+    dest_b = jnp.where(b.valid, na + idx_b, cap)
+    xy = jnp.zeros((cap + 1, 2), jnp.float32).at[dest_a].set(a.xy).at[dest_b].set(b.xy)[:cap]
+    nm = (
+        jnp.zeros((cap + 1, 2), jnp.float32)
+        .at[dest_a]
+        .set(a.normal)
+        .at[dest_b]
+        .set(b.normal)[:cap]
+    )
+    valid = jnp.arange(cap) < (na + b.count())
+    return Cloud(xy, nm, valid)
+
+
+def clip_ball(cloud: Cloud, center: Array, max_range: float) -> Cloud:
+    """Radial clip around ``center`` — SceneClipperBall2D's ``clip``
+    (mapping/scene_clipper_ball_2d.cpp:29-31), as a mask update."""
+    d2 = jnp.sum((cloud.xy - center) ** 2, axis=-1)
+    keep = cloud.valid & (d2 <= max_range * max_range)
+    return Cloud(cloud.xy, cloud.normal, keep)
+
+
+def voxelize(cloud: Cloud, res_xy: float, res_normal: float = 1.0) -> Cloud:
+    """Voxel decimation: average all valid points sharing a voxel cell.
+
+    Mirrors srrg_pcl ``voxelize`` with coefficient vector
+    (res, res, res_normal, res_normal) as used by the preprocessor
+    (raw_data_preprocessor_projective_2d.cpp:38-41: coeffs ``res,res,1,1``) and
+    the clipper (scene_clipper_projective_2d.cpp:46-49: ``res,res,.1,.1``):
+    points are binned on a 4D grid over (x, y, nx, ny); each occupied cell
+    yields one averaged point with renormalized normal. TPU formulation: hash
+    voxel ids, sort by hash, segment-mean — all static-shape.
+
+    Output order follows voxel-id order (deterministic), with valid points
+    compacted to the front.
+    """
+    n = cloud.capacity
+    inv = 1.0 / res_xy
+    inv_n = 1.0 / res_normal
+    # Quantized 4D cell coordinates; invalid rows pushed to a sentinel cell.
+    cx = jnp.floor(cloud.xy[:, 0] * inv).astype(jnp.int32)
+    cy = jnp.floor(cloud.xy[:, 1] * inv).astype(jnp.int32)
+    cnx = jnp.floor(cloud.normal[:, 0] * inv_n).astype(jnp.int32)
+    cny = jnp.floor(cloud.normal[:, 1] * inv_n).astype(jnp.int32)
+    # Collision-free within practical bounds: 20 bits xy, 4 bits normals (int64-free:
+    # combine via two int32 keys and lexicographic sort on a fused key pair).
+    key_hi = cx * 65536 + (cy & 0xFFFF)
+    key_lo = (cy >> 16) * 1024 + (cnx & 0x1F) * 32 + (cny & 0x1F)
+    # fuse into a single sortable float-free key using int32 pair sort:
+    order = jnp.lexsort((key_lo, key_hi, ~cloud.valid))
+    v = cloud.valid[order]
+    khi, klo = key_hi[order], key_lo[order]
+    xy = cloud.xy[order]
+    nm = cloud.normal[order]
+    new_group = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1]) | (v[1:] != v[:-1]),
+        ]
+    )
+    new_group = new_group & v
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # group index per row
+    gid = jnp.where(v, gid, n)  # invalid rows dropped
+    ones = v.astype(jnp.float32)
+    cnt = jnp.zeros((n + 1,), jnp.float32).at[gid].add(ones)[:n]
+    sum_xy = jnp.zeros((n + 1, 2), jnp.float32).at[gid].add(xy * ones[:, None])[:n]
+    sum_nm = jnp.zeros((n + 1, 2), jnp.float32).at[gid].add(nm * ones[:, None])[:n]
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    mean_xy = sum_xy / denom
+    mean_nm = sum_nm / denom
+    norm = jnp.linalg.norm(mean_nm, axis=-1, keepdims=True)
+    mean_nm = jnp.where(norm > 1e-12, mean_nm / jnp.maximum(norm, 1e-12), mean_nm)
+    valid = cnt > 0
+    return Cloud(mean_xy, mean_nm, valid)
