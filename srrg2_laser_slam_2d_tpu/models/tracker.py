@@ -1,0 +1,202 @@
+"""Scan-to-local-map tracker — TPU equivalent of ``MultiTracker2D`` +
+``TrackerSliceProcessorLaser2D`` + ``TrackerSliceProcessorPriorOdom2D``
+(tracking/tracker_slice_processor_laser_2d.h:5-21; behavior per
+apps/visual_test_tracker_2d.cpp:136-180 and SURVEY.md §2.2).
+
+Per frame (reference flow setRawData -> preprocessRawData -> align -> merge):
+  1. clip the local-map scene to the sensor's view (SceneClipperProjective2D)
+  2. align the new measurement against the clipped scene with the odometry
+     prior as initial guess and prior factor (MultiAligner2D)
+  3. update robot_in_local_map from the estimate
+  4. merge the measurement into the scene (MergerProjective2D)
+
+Frame conventions (see ops/icp.py header for the with-sensor equivalence):
+  - measurement cloud: sensor frame (raw preprocessor output)
+  - scene: local-map frame; clipped scene: robot frame at the previous pose
+  - aligner estimate T': clipped(prev-robot) frame -> current-sensor frame
+  - robot update: X_new = X_old ∘ (S ∘ T')^-1  with S = sensor_in_robot
+
+The whole step is ONE jitted device program; the only host decision is
+first-frame populate (data-independent: the caller knows).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import clip as clip_op
+from ..ops import icp
+from ..ops import merge as merge_op
+from ..ops.projector import PolarProjection
+from ..utils import cloud as cloud_op
+from ..utils import geometry
+from ..utils.cloud import Cloud
+
+Array = jax.Array
+
+
+def default_projection() -> PolarProjection:
+    """The shipped configs' matching/merging/clipping canvas: 721 beams over
+    ±π, range [0.3, 20] (configurations/...LASER_0.json:328-338 etc.)."""
+    import math
+
+    return PolarProjection.make(
+        cols=721, angle_min=-math.pi, angle_max=math.pi, range_min=0.3, range_max=20.0
+    )
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    scene_capacity: int = 8192
+    merge_threshold: float = 0.2          # MergerProjective2D (config :656)
+    clip_voxelize_resolution: float = 0.0  # SceneClipperProjective2D (config :734)
+    projection: PolarProjection = field(default_factory=default_projection)
+    aligner: icp.AlignerConfig = field(default_factory=icp.AlignerConfig)
+
+
+class TrackerState(NamedTuple):
+    """Device-resident tracker state (a pytree)."""
+
+    scene: Cloud               # local-map frame
+    robot_in_local_map: Array  # [3]
+    last_odom: Array           # [3] last odometry pose fed in
+    has_odom: Array            # [] bool
+    sensor_in_robot: Array     # [3] laser extrinsic (from the TF tree)
+
+
+class TrackStats(NamedTuple):
+    estimate: Array            # [3] aligner estimate (moving->sensor frame)
+    chi: Array
+    num_correspondences: Array
+    num_inliers: Array
+    iterations: Array
+
+
+def init_state(cfg: TrackerConfig, sensor_in_robot=None) -> TrackerState:
+    if sensor_in_robot is None:
+        sensor_in_robot = jnp.zeros(3, jnp.float32)
+    return TrackerState(
+        scene=cloud_op.empty(cfg.scene_capacity),
+        robot_in_local_map=jnp.zeros(3, jnp.float32),
+        last_odom=jnp.zeros(3, jnp.float32),
+        has_odom=jnp.asarray(False),
+        sensor_in_robot=jnp.asarray(sensor_in_robot, jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def populate(cfg: TrackerConfig, state: TrackerState, measurement: Cloud) -> TrackerState:
+    """First-frame scene population (TrackerSliceProcessor::populateScene):
+    the measurement, moved into the local-map frame, seeds the scene."""
+    sensor_in_lm = geometry.compose(state.robot_in_local_map, state.sensor_in_robot)
+    meas_lm = cloud_op.transform(measurement, sensor_in_lm)
+    scene = cloud_op.repad(meas_lm, cfg.scene_capacity)
+    return state._replace(scene=scene)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(
+    cfg: TrackerConfig,
+    state: TrackerState,
+    measurement: Cloud,
+    odom: Array,
+    odom_valid: Array,
+) -> tuple[TrackerState, TrackStats]:
+    """One tracking step. ``odom`` is the current odometry pose (any fixed
+    odom frame); ``odom_valid`` gates the prior."""
+    S = state.sensor_in_robot
+    # odometry-predicted robot motion D (prev-robot -> curr-robot), if available
+    use_prior = state.has_odom & odom_valid
+    D = jnp.where(use_prior, geometry.relative(state.last_odom, odom), jnp.zeros(3))
+    # initial guess / prior for the aligner estimate: T'0 = (D ∘ S)^-1 ∘ ... wait
+    # T' maps prev-robot frame -> current-sensor frame: T'0 = S^-1 ∘ D^-1 = (D∘S)^-1
+    T0 = geometry.inverse(geometry.compose(D, S))
+
+    clipped = clip_op.clip_projective(
+        cfg.projection,
+        state.scene,
+        state.robot_in_local_map,
+        S,
+        cfg.clip_voxelize_resolution,
+    )
+
+    res = icp.align(
+        cfg.aligner,
+        cfg.projection,
+        fixed=measurement,
+        moving=clipped,
+        initial=T0,
+        odom_prior=T0,
+    )
+
+    # X_new = X_old ∘ (S ∘ T')^-1
+    X_new = geometry.compose(
+        state.robot_in_local_map, geometry.inverse(geometry.compose(S, res.estimate))
+    )
+
+    scene = merge_op.merge_projective(
+        cfg.projection,
+        state.scene,
+        measurement,
+        measurement_in_scene=geometry.compose(X_new, S),
+        merge_threshold=cfg.merge_threshold,
+    )
+
+    new_state = state._replace(
+        scene=scene,
+        robot_in_local_map=X_new,
+        last_odom=jnp.where(odom_valid, odom, state.last_odom),
+        has_odom=state.has_odom | odom_valid,
+    )
+    stats = TrackStats(
+        estimate=res.estimate,
+        chi=res.chi,
+        num_correspondences=res.num_correspondences,
+        num_inliers=res.num_inliers,
+        iterations=res.iterations,
+    )
+    return new_state, stats
+
+
+class LaserTracker:
+    """Host-side convenience wrapper with the reference's stateful API."""
+
+    def __init__(self, cfg: TrackerConfig = TrackerConfig(), sensor_in_robot=None):
+        self.cfg = cfg
+        self.state = init_state(cfg, sensor_in_robot)
+        self._seeded = False
+
+    @property
+    def robot_in_local_map(self) -> Array:
+        return self.state.robot_in_local_map
+
+    def set_scene(self, scene: Cloud, robot_in_local_map=None) -> None:
+        self.state = self.state._replace(scene=scene)
+        if robot_in_local_map is not None:
+            self.state = self.state._replace(
+                robot_in_local_map=jnp.asarray(robot_in_local_map, jnp.float32)
+            )
+        self._seeded = True
+
+    def compute(self, measurement: Cloud, odom=None) -> TrackStats | None:
+        if not self._seeded:
+            self.state = populate(self.cfg, self.state, measurement)
+            self._seeded = True
+            if odom is not None:
+                self.state = self.state._replace(
+                    last_odom=jnp.asarray(odom, jnp.float32), has_odom=jnp.asarray(True)
+                )
+            return None
+        odom_arr = (
+            jnp.asarray(odom, jnp.float32) if odom is not None else jnp.zeros(3)
+        )
+        odom_valid = jnp.asarray(odom is not None)
+        self.state, stats = track_step(
+            self.cfg, self.state, measurement, odom_arr, odom_valid
+        )
+        return stats

@@ -100,6 +100,22 @@ def compact(cloud: Cloud) -> Cloud:
     return Cloud(xy, normal, valid)
 
 
+def repad(cloud: Cloud, capacity: int) -> Cloud:
+    """Compact and re-pad to a new capacity (truncates overflow)."""
+    c = compact(cloud)
+    n = c.capacity
+    if capacity == n:
+        return c
+    if capacity > n:
+        pad = capacity - n
+        return Cloud(
+            xy=jnp.pad(c.xy, ((0, pad), (0, 0))),
+            normal=jnp.pad(c.normal, ((0, pad), (0, 0))),
+            valid=jnp.pad(c.valid, (0, pad)),
+        )
+    return Cloud(c.xy[:capacity], c.normal[:capacity], c.valid[:capacity])
+
+
 def concat(a: Cloud, b: Cloud, capacity: int | None = None) -> Cloud:
     """Concatenate two clouds (compacted), optionally re-padding to capacity."""
     a, b = compact(a), compact(b)

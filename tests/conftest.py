@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's axon TPU plugin force-prepends itself to jax_platforms at
+# plugin registration, overriding the env var — override it back after import
+# so tests run on the virtual CPU mesh (and not through the TPU tunnel).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
