@@ -34,6 +34,8 @@ class SyntheticConfig:
     corner_points: int = 1024
     steps: int = 100
     max_variance: float = 0.1  # reference :169: motion ∈ ±max_variance/2
+    drift: tuple = (0.0, 0.0, 0.0)  # deterministic per-step motion added to the
+    # random walk — lets tests drive trajectories (straight lines, loops) with GT
     seed: int = 0
     sensor_in_robot: tuple = (0.2, 0.2, 0.1)  # reference :77
 
@@ -101,7 +103,9 @@ def simulate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticDataset:
 
     for step in range(cfg.steps + 1):
         if step > 0:
-            motion = rng.uniform(-0.5, 0.5, size=3) * cfg.max_variance
+            motion = rng.uniform(-0.5, 0.5, size=3) * cfg.max_variance + np.asarray(
+                cfg.drift
+            )
             robot = _compose(robot, motion)
         sensor = _compose(robot, sensor_in_robot)
         canvas, _ = projector_op.project(proj, jnp.asarray(sensor, jnp.float32), scene)

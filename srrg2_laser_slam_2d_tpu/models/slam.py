@@ -1,0 +1,207 @@
+"""Top-level graph SLAM — TPU equivalent of ``MultiGraphSLAM2D``
+(srrg2_slam_interfaces; behavior per apps/slam_app.cpp:89-154, config
+configurations/stage_segway_double_config_LASER_0.json:340-381 and
+SURVEY.md §2.2/§3.1).
+
+Per-message flow (reference compute()):
+  track -> split local maps on the distance criterion
+        -> detect loop closures (batched candidate alignment)
+        -> validate closures (vote) -> add edges -> global pose-graph solve
+        -> relocalize onto existing maps
+``robotInWorld = local_map_pose ∘ robotInLocalMap``.
+
+Host/device split (SURVEY.md §7 'hard parts'): data-dependent control flow
+(splits, closure triggering, relocalization jumps) stays in Python; every
+numeric inner loop (tracking step, batched closure alignment, PGO) is a
+single jitted device program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import icp
+from ..solver import pgo
+from ..utils import geometry
+from ..utils.cloud import Cloud
+from . import loop_closure as lc
+from . import tracker as tracker_mod
+
+Array = jnp.ndarray
+
+
+@dataclass(frozen=True)
+class GraphSLAMConfig:
+    # LocalMapSplittingCriterionDistance2D (config :1-7)
+    local_map_distance: float = 1.0
+    var_capacity: int = 1024
+    edge_capacity: int = 4096
+    odom_edge_info: tuple = (100.0, 100.0, 1000.0)
+    closure_edge_info: tuple = (100.0, 100.0, 1000.0)
+    tracker: tracker_mod.TrackerConfig = field(default_factory=tracker_mod.TrackerConfig)
+    detector: lc.LoopDetectorConfig = field(default_factory=lc.LoopDetectorConfig)
+    validator: lc.ValidatorConfig = field(default_factory=lc.ValidatorConfig)
+    relocalizer: lc.RelocalizerConfig = field(default_factory=lc.RelocalizerConfig)
+    global_solver: pgo.PGOConfig = field(default_factory=pgo.PGOConfig)
+    enable_loop_closure: bool = True
+    enable_relocalizer: bool = True
+
+
+class GraphSLAM2D:
+    """Stateful SLAM orchestrator with the reference's setRawData/compute-style
+    API surface (here: ``process(measurement, odom)``)."""
+
+    def __init__(self, cfg: GraphSLAMConfig = GraphSLAMConfig(), sensor_in_robot=None):
+        self.cfg = cfg
+        self.tracker = tracker_mod.LaserTracker(cfg.tracker, sensor_in_robot)
+        self.graph = pgo.empty_graph(cfg.var_capacity, cfg.edge_capacity)
+        self.scenes: list[Cloud] = []     # one scene per local map (its frame)
+        self.adjacency: list[set[int]] = []
+        self.n_maps = 0
+        self.n_edges = 0
+        self.current_map = -1
+        self.detector = lc.BruteForceLoopDetector(cfg.detector, cfg.tracker.projection)
+        self.validator = lc.ClosureValidator(cfg.validator)
+        self.num_closures = 0
+        self.relocalizations = 0
+
+    # ---- graph bookkeeping -------------------------------------------------
+    def _add_variable(self, pose: np.ndarray, fixed: bool = False) -> int:
+        idx = self.n_maps
+        assert idx < self.cfg.var_capacity, "variable capacity exceeded"
+        g = self.graph
+        self.graph = g._replace(
+            poses=g.poses.at[idx].set(jnp.asarray(pose, jnp.float32)),
+            var_valid=g.var_valid.at[idx].set(True),
+            var_fixed=g.var_fixed.at[idx].set(bool(fixed)),
+        )
+        self.adjacency.append(set())
+        self.n_maps += 1
+        return idx
+
+    def _add_edge(self, i: int, j: int, meas: np.ndarray, info: tuple) -> None:
+        e = self.n_edges
+        assert e < self.cfg.edge_capacity, "edge capacity exceeded"
+        g = self.graph
+        self.graph = g._replace(
+            edge_i=g.edge_i.at[e].set(i),
+            edge_j=g.edge_j.at[e].set(j),
+            edge_meas=g.edge_meas.at[e].set(jnp.asarray(meas, jnp.float32)),
+            edge_info=g.edge_info.at[e].set(jnp.asarray(info, jnp.float32)),
+            edge_valid=g.edge_valid.at[e].set(True),
+        )
+        self.adjacency[i].add(j)
+        self.adjacency[j].add(i)
+        self.n_edges += 1
+
+    # ---- accessors ---------------------------------------------------------
+    @property
+    def poses_np(self) -> np.ndarray:
+        return np.asarray(self.graph.poses)
+
+    def robot_in_world(self) -> np.ndarray:
+        if self.current_map < 0:
+            return np.zeros(3, np.float32)
+        lm = self.graph.poses[self.current_map]
+        return np.asarray(
+            geometry.compose(lm, self.tracker.robot_in_local_map)
+        )
+
+    def num_variables(self) -> int:
+        return self.n_maps
+
+    def num_factors(self) -> int:
+        return self.n_edges
+
+    # ---- main entry --------------------------------------------------------
+    def process(self, measurement: Cloud, odom=None) -> None:
+        """One message pack: laser measurement (sensor frame) + optional odometry."""
+        if self.current_map < 0:
+            self.current_map = self._add_variable(np.zeros(3, np.float32), fixed=True)
+            self.scenes.append(None)  # filled by tracker populate
+            self.tracker.compute(measurement, odom)
+            self.scenes[self.current_map] = self.tracker.state.scene
+            return
+
+        self.tracker.compute(measurement, odom)
+        self.scenes[self.current_map] = self.tracker.state.scene
+
+        # splitting criterion: new local map after local_map_distance meters
+        ril = np.asarray(self.tracker.robot_in_local_map)
+        if float(np.linalg.norm(ril[:2])) >= self.cfg.local_map_distance:
+            self._split(measurement, odom)
+
+    def _split(self, measurement: Cloud, odom) -> None:
+        cfg = self.cfg
+        prev = self.current_map
+        ril = np.asarray(self.tracker.robot_in_local_map)
+        new_pose_w = np.asarray(
+            geometry.compose(self.graph.poses[prev], jnp.asarray(ril))
+        )
+        new = self._add_variable(new_pose_w)
+        self._add_edge(prev, new, ril, cfg.odom_edge_info)
+        self.scenes.append(None)
+
+        # re-seed the tracker on the new local map with the current measurement
+        self.tracker.state = self.tracker.state._replace(
+            robot_in_local_map=jnp.zeros(3, jnp.float32)
+        )
+        self.tracker._seeded = False
+        self.tracker.compute(measurement, odom)
+        self.scenes[new] = self.tracker.state.scene
+        self.current_map = new
+
+        if cfg.enable_loop_closure:
+            self._loop_closure_round(new)
+
+    def _loop_closure_round(self, query: int) -> None:
+        cfg = self.cfg
+        closures = self.detector.detect(
+            query, self.scenes, self.poses_np, self.n_maps, self.adjacency
+        )
+        for c in closures:
+            self.validator.add(c)
+        accepted = self.validator.vote(self.poses_np)
+        if not accepted:
+            return
+        for c in accepted:
+            # closure edge: query map pose expressed in candidate map frame
+            self._add_edge(
+                c.candidate_map, c.query_map, c.estimate, cfg.closure_edge_info
+            )
+            self.num_closures += 1
+        self._global_solve()
+        if cfg.enable_relocalizer:
+            self._try_relocalize()
+
+    def _global_solve(self) -> None:
+        trimmed, _, _ = pgo.trim(self.graph, self.n_maps, self.n_edges)
+        solved, chi, iters = pgo.optimize(self.cfg.global_solver, trimmed)
+        self.graph = pgo.untrim_poses(self.graph, solved)
+
+    def _try_relocalize(self) -> None:
+        """MultiRelocalizer2D: if an accepted closure landed the current map
+        next to an older map, continue tracking on the older map instead of
+        growing the graph (config :577-596)."""
+        rcfg = self.cfg.relocalizer
+        poses = self.poses_np
+        cur_w = self.robot_in_world()
+        best, best_d = -1, rcfg.max_translation
+        for m in range(self.n_maps):
+            if m == self.current_map:
+                continue
+            d = float(np.linalg.norm(poses[m, :2] - cur_w[:2]))
+            if d < best_d and m in self.adjacency[self.current_map]:
+                best, best_d = m, d
+        if best < 0:
+            return
+        # jump: express the robot in the chosen map and continue there
+        ril = np.asarray(
+            geometry.relative(jnp.asarray(poses[best]), jnp.asarray(cur_w))
+        )
+        self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
+        self.current_map = best
+        self.relocalizations += 1

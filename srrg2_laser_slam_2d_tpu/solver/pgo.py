@@ -183,6 +183,40 @@ def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]
     return graph._replace(poses=poses), chi, it
 
 
+def _round_capacity(n: int, minimum: int = 16) -> int:
+    c = minimum
+    while c < n:
+        c *= 2
+    return c
+
+
+def trim(graph: PoseGraph, n_vars: int, n_edges: int) -> tuple[PoseGraph, int, int]:
+    """Slice the static-capacity graph down to power-of-two capacities that
+    cover the live variables/edges — keeps the dense solve sized to the
+    problem while bounding the number of distinct compiled shapes."""
+    vc = _round_capacity(n_vars)
+    ec = _round_capacity(n_edges)
+    vc = min(vc, graph.var_capacity)
+    ec = min(ec, graph.edge_capacity)
+    trimmed = PoseGraph(
+        poses=graph.poses[:vc],
+        var_valid=graph.var_valid[:vc],
+        var_fixed=graph.var_fixed[:vc],
+        edge_i=graph.edge_i[:ec],
+        edge_j=graph.edge_j[:ec],
+        edge_meas=graph.edge_meas[:ec],
+        edge_info=graph.edge_info[:ec],
+        edge_valid=graph.edge_valid[:ec],
+    )
+    return trimmed, vc, ec
+
+
+def untrim_poses(full: PoseGraph, solved: PoseGraph) -> PoseGraph:
+    """Write the solved pose block back into the full-capacity graph."""
+    vc = solved.var_capacity
+    return full._replace(poses=full.poses.at[:vc].set(solved.poses))
+
+
 def graph_chi(graph: PoseGraph) -> Array:
     """Total unrobustified chi2 of the graph (diagnostic)."""
     _, _, chi, _ = linearize(graph, 0.0)

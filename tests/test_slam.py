@@ -1,0 +1,131 @@
+"""End-to-end SLAM tests — the TPU analog of the reference's test_slam.cpp:
+graph-topology assertions after a known trajectory (reference asserts
+11 variables / 10 factors after ~11 m of Killian travel, test_slam.cpp:65-66)
+plus a loop-closure run the reference leaves as TODO (test_slam.cpp:73-75)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from srrg2_laser_slam_2d_tpu.bench import synthetic
+from srrg2_laser_slam_2d_tpu.models import loop_closure as lc
+from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
+from srrg2_laser_slam_2d_tpu.models import tracker as tracker_mod
+from srrg2_laser_slam_2d_tpu.models.preprocessor import (
+    LaserModel,
+    PreprocessorConfig,
+    ScanPreprocessor,
+)
+from srrg2_laser_slam_2d_tpu.ops import icp
+from srrg2_laser_slam_2d_tpu.ops.projector import PolarProjection
+from srrg2_laser_slam_2d_tpu.utils import geometry as g
+
+
+def make_pipeline(ds, local_map_distance, enable_loops, var_cap=64, edge_cap=128):
+    cfg = ds.config
+    proj = PolarProjection.make(
+        cols=512, angle_min=-np.pi, angle_max=np.pi, range_min=0.1, range_max=30.0
+    )
+    tcfg = tracker_mod.TrackerConfig(
+        scene_capacity=2048,
+        projection=proj,
+        aligner=icp.AlignerConfig(max_iterations=8, point_distance=0.5, normal_cos=0.8),
+    )
+    dcfg = lc.LoopDetectorConfig(
+        # gates scaled down from the reference's 300-inlier default: synthetic
+        # scenes have ~450 points over 512 beams vs dense 721-beam real scans
+        relocalize_min_inliers=60,
+        relocalize_min_inliers_ratio=0.5,
+        relocalize_max_chi_inliers=0.1,
+        max_candidates=4,
+        aligner=icp.AlignerConfig(
+            max_iterations=15,
+            point_distance=1.414,
+            normal_cos=0.8,
+            chi_threshold=0.05,
+            odom_weight=0.0,
+        ),
+    )
+    scfg = slam_mod.GraphSLAMConfig(
+        local_map_distance=local_map_distance,
+        var_capacity=var_cap,
+        edge_capacity=edge_cap,
+        tracker=tcfg,
+        detector=dcfg,
+        validator=lc.ValidatorConfig(enabled=False),
+        enable_loop_closure=enable_loops,
+        enable_relocalizer=False,
+    )
+    pre = ScanPreprocessor(PreprocessorConfig(voxelize_resolution=0.02, normal_window=8))
+    pre.set_model(
+        LaserModel(
+            num_beams=cfg.num_beams,
+            angle_min=cfg.angle_min,
+            angle_max=cfg.angle_max,
+            range_min=cfg.range_min,
+            range_max=cfg.range_max,
+        )
+    )
+    return slam_mod.GraphSLAM2D(scfg, sensor_in_robot=np.array(cfg.sensor_in_robot)), pre
+
+
+def test_graph_topology_straight_line():
+    # 20 steps of 0.11 m forward drift -> ~2.2 m travel, splits each 0.5 m:
+    # deterministic variable/factor count like the reference's Killian check
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=20, num_beams=512, max_variance=0.0, drift=(0.11, 0.0, 0.0)
+        )
+    )
+    slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=False)
+    for k in range(len(ds.ranges)):
+        slam.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+    # travel 2.2 m, split at 0.5 -> splits at ~0.55,1.1,1.65,2.2: 4 new maps
+    assert slam.num_variables() == 5, slam.num_variables()
+    assert slam.num_factors() == 4, slam.num_factors()
+    # robot_in_world tracks GT
+    err = np.abs(slam.robot_in_world() - ds.robot_poses[-1])
+    assert err[:2].max() < 0.08, err
+    assert err[2] < 0.05, err
+
+
+def test_loop_closure_on_circle():
+    # deterministic circular drive: returns to start after 40 steps
+    n_steps = 40
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=n_steps,
+            num_beams=512,
+            max_variance=0.02,
+            drift=(0.15, 0.0, 2 * np.pi / 40),
+            seed=5,
+        )
+    )
+    slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=True)
+    for k in range(len(ds.ranges)):
+        slam.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+    assert slam.num_variables() >= 8
+    assert slam.num_closures >= 1, "no loop closures found on a closed loop"
+    # closure-corrected trajectory end stays near GT
+    err = np.abs(slam.robot_in_world() - ds.robot_poses[-1])
+    err[2] = abs(np.arctan2(np.sin(err[2]), np.cos(err[2])))
+    assert np.linalg.norm(err[:2]) < 0.2, err
+
+
+def test_relocalizer_jumps_to_existing_map():
+    n_steps = 44
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=n_steps,
+            num_beams=512,
+            max_variance=0.02,
+            drift=(0.15, 0.0, 2 * np.pi / 40),
+            seed=7,
+        )
+    )
+    slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=True)
+    slam.cfg = slam.cfg  # frozen; relocalizer toggled via new config
+    object.__setattr__(slam.cfg, "enable_relocalizer", True)
+    for k in range(len(ds.ranges)):
+        slam.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+    # after completing the loop the robot should re-attach to an earlier map
+    assert slam.relocalizations >= 1
