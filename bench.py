@@ -1,0 +1,127 @@
+"""Headline benchmark: scan-to-local-map tracking throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload mirrors the reference's per-message hot path (SURVEY.md §3.2):
+721-beam scans, full preprocessing + clip + 10-iteration projective ICP +
+merge per frame, sequential frame semantics. ``vs_baseline`` is the speedup
+over the single-core C++ implementation of the same pipeline
+(native/baseline_icp.cpp, the stand-in for the unbuildable reference stack —
+see BASELINE.md: the reference publishes no numbers, so the baseline is
+produced by running an equivalent harness).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NUM_BEAMS = 721
+FRAMES = 64
+SCENE_CAP = 8192
+
+
+def run_tpu_bench() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from srrg2_laser_slam_2d_tpu.bench import pipeline, synthetic
+    from srrg2_laser_slam_2d_tpu.models import tracker as tracker_mod
+    from srrg2_laser_slam_2d_tpu.models.preprocessor import PreprocessorConfig
+    from srrg2_laser_slam_2d_tpu.ops import icp
+    from srrg2_laser_slam_2d_tpu.ops.projector import PolarProjection
+
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(steps=FRAMES - 1, num_beams=NUM_BEAMS)
+    )
+    scan_proj = ds.projection
+    pcfg = PreprocessorConfig(voxelize_resolution=0.02, normal_window=8)
+    match_proj = PolarProjection.make(
+        cols=NUM_BEAMS, angle_min=-np.pi, angle_max=np.pi, range_min=0.3, range_max=20.0
+    )
+    tcfg = tracker_mod.TrackerConfig(
+        scene_capacity=SCENE_CAP,
+        projection=match_proj,
+        aligner=icp.AlignerConfig(max_iterations=10, point_distance=0.5, normal_cos=0.8),
+    )
+
+    ranges = jnp.asarray(ds.ranges)
+    meas_stack = pipeline.preprocess_batch(scan_proj, pcfg, ranges)
+    odoms = jnp.asarray(ds.robot_poses)
+    odom_valid = jnp.ones(len(ds.ranges), bool)
+
+    state0 = tracker_mod.init_state(
+        tcfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
+    )
+    state0 = tracker_mod.populate(
+        tcfg, state0, jax.tree.map(lambda x: x[0], meas_stack)
+    )
+
+    # warmup/compile
+    final, traces = pipeline.track_sequence(tcfg, state0, meas_stack, odoms, odom_valid)
+    final.robot_in_local_map.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        final, traces = pipeline.track_sequence(
+            tcfg, state0, meas_stack, odoms, odom_valid
+        )
+    final.robot_in_local_map.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    frames = len(ds.ranges)
+    return frames / dt
+
+
+def cpp_baseline() -> float | None:
+    """Build + run the single-core C++ baseline if the toolchain allows."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, "BASELINE_LOCAL.json")
+    src = os.path.join(here, "native", "baseline_icp.cpp")
+    exe = os.path.join(here, "native", "baseline_icp")
+    try:
+        if os.path.exists(cache):
+            with open(cache) as f:
+                return float(json.load(f)["cpp_scans_per_sec"])
+        if not os.path.exists(src):
+            return None
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
+                check=True,
+                capture_output=True,
+            )
+        out = subprocess.run([exe], check=True, capture_output=True, timeout=600)
+        val = float(json.loads(out.stdout.decode().strip())["scans_per_sec"])
+        with open(cache, "w") as f:
+            json.dump({"cpp_scans_per_sec": val}, f)
+        return val
+    except Exception:
+        return None
+
+
+def main() -> None:
+    value = run_tpu_bench()
+    base = cpp_baseline()
+    vs = (value / base) if base else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_throughput",
+                "value": round(value, 2),
+                "unit": "scans/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

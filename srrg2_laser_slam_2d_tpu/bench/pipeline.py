@@ -1,0 +1,52 @@
+"""Device-side streamed tracking — the throughput harness.
+
+The frame loop is inherently sequential (SURVEY.md §7 'hard parts'), but it
+does not need a host round-trip per frame: scans are pre-staged on device and
+``lax.scan`` drives the fused tracking step frame-to-frame inside ONE compiled
+program. This is the TPU analog of the reference's per-message
+setRawData+compute timing loop (apps/generic_bench_app.cpp:78-103), minus the
+host overhead the C++ pays per message.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models import tracker as tracker_mod
+from ..models.preprocessor import PreprocessorConfig, preprocess_scan
+from ..ops.projector import PolarProjection
+from ..utils.cloud import Cloud
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_sequence(
+    cfg: tracker_mod.TrackerConfig,
+    state: tracker_mod.TrackerState,
+    meas_stack: Cloud,      # [T, N, ...] preprocessed scans
+    odoms: Array,           # [T, 3]
+    odom_valid: Array,      # [T]
+):
+    """Run T sequential tracking steps on device; returns final state and the
+    per-frame pose/chi/inlier traces."""
+
+    def step(state, inputs):
+        meas, odom, ov = inputs
+        new_state, stats = tracker_mod.track_step_impl(cfg, state, meas, odom, ov)
+        return new_state, (
+            new_state.robot_in_local_map,
+            stats.chi,
+            stats.num_inliers,
+        )
+
+    return jax.lax.scan(step, state, (meas_stack, odoms, odom_valid))
+
+
+@functools.partial(jax.jit, static_argnames=("proj", "pcfg"))
+def preprocess_batch(proj: PolarProjection, pcfg: PreprocessorConfig, ranges: Array) -> Cloud:
+    """Preprocess a [T, num_beams] stack of scans in one batched program."""
+    return jax.vmap(lambda r: preprocess_scan(proj, pcfg, r))(ranges)

@@ -99,8 +99,7 @@ def populate(cfg: TrackerConfig, state: TrackerState, measurement: Cloud) -> Tra
     return state._replace(scene=scene)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def track_step(
+def track_step_impl(
     cfg: TrackerConfig,
     state: TrackerState,
     measurement: Cloud,
@@ -161,6 +160,9 @@ def track_step(
         iterations=res.iterations,
     )
     return new_state, stats
+
+
+track_step = jax.jit(track_step_impl, static_argnames=("cfg",))
 
 
 class LaserTracker:

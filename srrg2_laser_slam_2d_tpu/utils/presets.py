@@ -1,0 +1,207 @@
+"""Component registration + shipped pipeline presets.
+
+Re-creates the reference's two complete pipeline assemblies as config presets
+(configurations/stage_segway_double_config_LASER_0.json — 1 laser + odometry —
+and ..._MULTI.json — 2 lasers + odometry; the MULTI variant differs only in
+config, SURVEY.md §5), plus the default-config generator (slam_app.cpp -j,
+:87-167).
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..models import loop_closure as lc
+from ..models import slam as slam_mod
+from ..models import tracker as tracker_mod
+from ..models.preprocessor import PreprocessorConfig
+from ..ops import icp
+from ..ops.projector import PolarProjection
+from ..solver import pgo
+from . import config as config_mod
+
+# ---- registration with parameter docs (the PARAM docstring surface) --------
+
+config_mod.register(
+    PreprocessorConfig,
+    {
+        "range_min": "range_min [meters]",
+        "range_max": "range_max [meters]",
+        "voxelize_resolution": "unproject voxelization resolution [meters]",
+        "normal_point_distance": "range of points considered while computing normal",
+        "normal_min_points": "min number of points to compute a normal",
+        "normal_window": "static one-sided stencil width of the normal window",
+        "scan_topic": "topic of the scan",
+    },
+)
+config_mod.register(
+    icp.AlignerConfig,
+    {
+        "max_iterations": "maximum number of iterations of the outer ICP loop",
+        "min_num_inliers": "minimum number of inliers",
+        "epsilon": "chi2-decay termination ratio (None = run all iterations)",
+        "damping": "GN damping factor, the higher the closer to gradient descent",
+        "point_distance": "max beam-depth distance between corresponding points",
+        "normal_cos": "min cosine between normals",
+        "chi_threshold": "Cauchy robustifier chi threshold (<=0 disables)",
+        "min_num_correspondences": "minimum number of correspondences in this slice",
+        "odom_weight": "information weight of the odometry prior slice (0 disables)",
+    },
+)
+config_mod.register(
+    tracker_mod.TrackerConfig,
+    {
+        "scene_capacity": "static local-map scene capacity [points]",
+        "merge_threshold": "max depth distance for merging measurement into scene",
+        "clip_voxelize_resolution": "clipper decimation grid [meters], 0 = off",
+        "projection": "polar canvas used for matching/merging/clipping",
+        "aligner": "scan-to-scene aligner assembly",
+    },
+)
+config_mod.register(
+    lc.LoopDetectorConfig,
+    {
+        "relocalize_min_inliers": "minimum number of inliers for success [int]",
+        "relocalize_min_inliers_ratio": "minimum fraction of inliers over total correspondences",
+        "relocalize_max_chi_inliers": "maximum chi per inlier for success [chi]",
+        "max_local_map_distance": "max distance in meters for closure candidates",
+        "relocalize_range_scale": "distance scale of candidate closures",
+        "aggressive_relocalize_graph_distance": "min graph distance to start aggressive widening",
+        "aggressive_relocalize_graph_max_range": "max graph distance for aggressive widening",
+        "aggressive_relocalize_range_increase_per_edge": "chi2 range increase per graph edge",
+        "max_candidates": "static batch size of the parallel candidate alignment",
+        "aligner": "aligner used to register loop closures",
+    },
+)
+config_mod.register(
+    lc.ValidatorConfig,
+    {
+        "inlier_accept_ratio": "ratio to accept a closure after min checks",
+        "inlier_reject_ratio": "ratio to reject a closure after min checks",
+        "inlier_chi": "chi2 of an inlier",
+        "min_times_checked": "minimum number a closure is checked",
+        "partition_expansion_range": "region around a closure endpoint to compute partitions",
+        "enabled": "toggle vote-based validation (off = accept gated closures immediately)",
+    },
+)
+config_mod.register(
+    lc.RelocalizerConfig,
+    {
+        "max_translation": "max translation to attempt a jump",
+        "relocalize_max_chi_inliers": "maximum chi per inlier for successful relocalization",
+        "relocalize_min_inliers": "minimum number of inliers for successful relocalization",
+        "relocalize_min_inliers_ratio": "minimum fraction of inliers out of total correspondences",
+    },
+)
+config_mod.register(
+    pgo.PGOConfig,
+    {
+        "max_iterations": "maximum global GN iterations",
+        "epsilon": "ratio of decay of chi2 between iterations",
+        "chi_threshold": "Cauchy robustifier threshold on PGO edges (<=0 disables)",
+        "damping": "diagonal damping of the dense solve",
+        "anchor_weight": "gauge prior weight on fixed variables",
+    },
+)
+config_mod.register(
+    slam_mod.GraphSLAMConfig,
+    {
+        "local_map_distance": "distance between the centers of local maps [meters]",
+        "var_capacity": "static pose-graph variable capacity",
+        "edge_capacity": "static pose-graph edge capacity",
+        "odom_edge_info": "diagonal information of odometry edges (tx, ty, theta)",
+        "closure_edge_info": "diagonal information of closure edges",
+        "tracker": "incremental tracker assembly",
+        "detector": "loop detector assembly",
+        "validator": "closure validator",
+        "relocalizer": "relocalizer",
+        "global_solver": "global pose-graph solver",
+        "enable_loop_closure": "toggle loop closing",
+        "enable_relocalizer": "toggle relocalization",
+    },
+)
+config_mod.register(PolarProjection)
+
+
+# ---- presets ----------------------------------------------------------------
+
+
+def reference_projection(num_beams: int = 721) -> PolarProjection:
+    """The matching/merging/clipping canvas of the shipped configs
+    (PointNormal2fProjectorPolar: 721 beams over ±π, range [0.3, 20])."""
+    return PolarProjection.make(
+        cols=num_beams,
+        angle_min=-math.pi,
+        angle_max=math.pi,
+        range_min=0.3,
+        range_max=20.0,
+    )
+
+
+def laser0_tracking_aligner() -> icp.AlignerConfig:
+    """Tracking aligner of LASER_0 (MultiAligner2D #29: 10 iterations; finder
+    #17: point_distance 0.5, normal_cos 0.9; robustifier #10: chi 0.01)."""
+    return icp.AlignerConfig(
+        max_iterations=10,
+        min_num_inliers=10,
+        point_distance=0.5,
+        normal_cos=0.9,
+        chi_threshold=0.01,
+        odom_weight=1.0,
+    )
+
+
+def laser0_preprocessor() -> PreprocessorConfig:
+    """RawDataPreprocessorProjective2D #6 + NormalComputator #45 + unprojector #38."""
+    return PreprocessorConfig(
+        range_min=0.0,
+        range_max=1000.0,
+        voxelize_resolution=0.02,
+        normal_point_distance=0.3,
+        normal_min_points=5,
+    )
+
+
+def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.GraphSLAMConfig:
+    """Full LASER_0 SLAM assembly (single laser + wheel odometry)."""
+    proj = reference_projection(num_beams)
+    return slam_mod.GraphSLAMConfig(
+        local_map_distance=1.0,
+        tracker=tracker_mod.TrackerConfig(
+            scene_capacity=scene_capacity,
+            merge_threshold=0.2,
+            clip_voxelize_resolution=0.0,
+            projection=proj,
+            aligner=laser0_tracking_aligner(),
+        ),
+        detector=lc.LoopDetectorConfig(
+            relocalize_min_inliers=300,
+            relocalize_min_inliers_ratio=0.8,
+            relocalize_max_chi_inliers=0.1,
+            aligner=icp.AlignerConfig(
+                max_iterations=30,
+                point_distance=1.414,
+                normal_cos=0.8,
+                chi_threshold=0.05,
+                odom_weight=0.0,
+            ),
+        ),
+        validator=lc.ValidatorConfig(),
+        relocalizer=lc.RelocalizerConfig(),
+        global_solver=pgo.PGOConfig(max_iterations=20, epsilon=1e-5),
+    )
+
+
+def default_config_manager() -> config_mod.ConfigManager:
+    """The slam_app -j equivalent: a complete named default assembly."""
+    mgr = config_mod.ConfigManager()
+    slam_cfg = laser0_slam()
+    mgr.add(slam_cfg, "slam")
+    mgr.add(slam_cfg.tracker, "tracker")
+    mgr.add(slam_cfg.tracker.aligner, "aligner")
+    mgr.add(slam_cfg.detector, "loop_detector")
+    mgr.add(slam_cfg.validator, "closure_validator")
+    mgr.add(slam_cfg.relocalizer, "relocalizer")
+    mgr.add(slam_cfg.global_solver, "global_solver")
+    mgr.add(laser0_preprocessor(), "preprocessor")
+    return mgr
