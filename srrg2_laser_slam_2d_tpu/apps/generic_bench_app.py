@@ -1,0 +1,108 @@
+"""Headless dataset benchmark runner — port of apps/generic_bench_app.cpp:
+per-message timing, TUM trajectory dump, timing file, mean frame time / FPS
+reporting (:78-136), plus the ATE/RMSE + regression gate of
+benchmarks/benchmark_carmen.cpp / benchmark_simul.cpp.
+
+Usage:
+  python -m srrg2_laser_slam_2d_tpu.apps.generic_bench_app \
+      -i log.jsonl | --carmen log.clf [--gt gt.tum] \
+      [-o traj.tum] [-t timings.txt] [--gate killian|simul]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..bench import suite as suite_mod
+from ..io import carmen as carmen_io
+from ..io import sources, tum
+from ..models.runner import SlamRunner
+from ..utils import presets
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", default=None)
+    ap.add_argument("--carmen", default=None)
+    ap.add_argument("--gt", default=None, help="ground-truth TUM file")
+    ap.add_argument("-o", "--output", default=None, help="TUM trajectory output")
+    ap.add_argument("-t", "--timing", default=None, help="timing output file")
+    ap.add_argument("--gate", choices=["killian", "simul", "none"], default="none")
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    runner = SlamRunner(
+        slam_config=presets.laser0_slam(),
+        preprocessor_config=presets.laser0_preprocessor(),
+    )
+
+    gt = None
+    if args.carmen:
+        packs, gt_arr = carmen_io.load_packs(args.carmen, args.max_frames)
+        source = sources.ListSource(packs)
+        runner.sensor_in_robot = np.zeros(3, np.float32)
+        gt = (gt_arr[:, 0], gt_arr[:, 1:])
+    elif args.input:
+        source = sources.JsonlFileSource(args.input)
+    else:
+        print("ERROR: provide -i or --carmen", file=sys.stderr)
+        return -1
+    if args.gt:
+        gt = tum.read_tum(args.gt)
+
+    t_start = time.perf_counter()
+    n = runner.run(source, args.max_frames)
+    total_dataset_time = time.perf_counter() - t_start
+    summary = runner.timing_summary()
+
+    print(f"total_dataset_time [ {total_dataset_time:.3f} ] s")
+    print(f"total_compute_time [ {summary.get('total_compute_time', 0):.3f} ] s")
+    print(
+        f"mean_frame_time [ {summary.get('mean_frame_time', 0):.4f} ] s -- "
+        f"mean_fps [ {summary.get('mean_frame_hz', 0):.1f} ] Hz"
+    )
+
+    if args.output:
+        tum.write_tum(
+            args.output,
+            [t for t, _, _ in runner.trajectory],
+            [p for _, p, _ in runner.trajectory],
+        )
+    if args.timing:
+        with open(args.timing, "w") as f:
+            f.write(
+                f"total_frames= {n} "
+                f"total_compute_time= {summary.get('total_compute_time', 0):.4f} "
+                f"mean_frame_time= {summary.get('mean_frame_time', 0):.6f} "
+                f"mean_frame_hz= {summary.get('mean_frame_hz', 0):.2f}\n"
+            )
+
+    if gt is not None:
+        bench = suite_mod.BenchmarkSuite()
+        bench.set_ground_truth(*gt)
+        for t, p, d in runner.trajectory:
+            bench.set_pose_estimate(p, t, d)
+        stats = bench.compute()
+        print(
+            f"ATE rmse_translation [ {stats['rmse_translation']:.4f} ] m | "
+            f"mean_rotation [ {stats['mean_rotation']:.4f} ] rad"
+        )
+        if args.gate != "none":
+            thr = (
+                suite_mod.KILLIAN_THRESHOLDS
+                if args.gate == "killian"
+                else suite_mod.SIMUL_THRESHOLDS
+            )
+            if bench.is_regression(thr, stats):
+                print("REGRESSION detected")
+                return -1
+            print("benchmark complete! (no regression)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,120 @@
+"""Synthetic dataset writer — port of apps/synthetic_scene_generator.cpp
+(SURVEY.md §3.5): deterministic circle+corner world, simulated polar laser,
+seeded random-walk trajectory; writes a JSONL message log (laser + /tf + odom)
+plus a ground-truth TUM file.
+
+Usage: python -m srrg2_laser_slam_2d_tpu.apps.synthetic_scene_generator \
+           -m laser_messages.jsonl [--gt gt.tum] [--steps 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..bench import synthetic
+from ..io import logfile, tum
+from ..io.messages import (
+    LaserMessage,
+    OdometryMessage,
+    PointCloud2Message,
+    TransformEvent,
+    TransformEventsMessage,
+)
+
+
+def dataset_to_messages(ds: synthetic.SyntheticDataset):
+    cfg = ds.config
+    msgs = []
+    seq = 0
+    timestamp = 0.0
+    timestep = 0.001
+    # initial scene cloud message (reference :105-115)
+    msgs.append(
+        PointCloud2Message(
+            topic="/point_cloud",
+            frame_id="world",
+            seq=seq,
+            timestamp=timestamp,
+            points=np.asarray(ds.scene.xy)[np.asarray(ds.scene.valid)],
+        )
+    )
+    seq += 1
+    timestamp += timestep
+    for t in range(len(ds.ranges)):
+        msgs.append(
+            TransformEventsMessage(
+                topic="/tf",
+                seq=seq,
+                timestamp=timestamp,
+                events=[
+                    TransformEvent(
+                        timestamp=timestamp,
+                        child_frame="scan",
+                        parent_frame="base_frame",
+                        pose=np.asarray(cfg.sensor_in_robot, np.float32),
+                    )
+                ],
+            )
+        )
+        seq += 1
+        timestamp += timestep
+        msgs.append(
+            LaserMessage(
+                topic="/scan",
+                frame_id="scan",
+                seq=seq,
+                timestamp=timestamp,
+                angle_min=cfg.angle_min,
+                angle_max=cfg.angle_max,
+                angle_increment=(cfg.angle_max - cfg.angle_min) / cfg.num_beams,
+                range_min=cfg.range_min,
+                range_max=cfg.range_max,
+                ranges=ds.ranges[t],
+            )
+        )
+        seq += 1
+        timestamp += timestep
+        msgs.append(
+            OdometryMessage(
+                topic="/odom",
+                frame_id="odom",
+                seq=seq,
+                timestamp=timestamp,
+                child_frame="base_frame",
+                pose=ds.robot_poses[t],
+            )
+        )
+        seq += 1
+        timestamp += timestep
+    return msgs
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-m", "--message", default="laser_messages.jsonl")
+    ap.add_argument("--gt", default=None, help="ground-truth TUM output")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--beams", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--drift", type=float, nargs=3, default=(0.0, 0.0, 0.0))
+    args = ap.parse_args(argv)
+
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=args.steps, num_beams=args.beams, seed=args.seed,
+            drift=tuple(args.drift),
+        )
+    )
+    logfile.write_jsonl(args.message, dataset_to_messages(ds))
+    print(f"wrote {args.message} ({len(ds.ranges)} scans)")
+    if args.gt:
+        # laser timestamps: initial cloud at 0, then (tf, laser, odom) per step
+        ts = [0.002 + 0.003 * t for t in range(len(ds.ranges))]
+        tum.write_tum(args.gt, ts, ds.robot_poses)
+        print(f"wrote {args.gt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Message-driven SLAM runner — the ``slammer->putMessage(msg)`` surface of
+``MultiGraphSLAM2D`` (apps/slam_app.cpp:78-85) plus the odometry raw-data
+preprocessor (``RawDataPreprocessorOdom2D``, config
+configurations/stage_segway_double_config_LASER_0.json:703-709) and the
+TF-driven sensor extrinsic lookup (frame_id/base_frame_id on the slices).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.messages import LaserMessage, MessagePack, OdometryMessage, extract_message
+from ..io.sources import Platform
+from .preprocessor import PreprocessorConfig, ScanPreprocessor
+from .slam import GraphSLAM2D, GraphSLAMConfig
+
+
+@dataclass
+class OdomPreprocessor:
+    """RawDataPreprocessorOdom2D: pull the odometry pose for a topic."""
+
+    topic: str = "/odom"
+
+    def process(self, msg):
+        odom = extract_message(msg, OdometryMessage, self.topic)
+        return None if odom is None else np.asarray(odom.pose, np.float32)
+
+
+@dataclass
+class SlamRunner:
+    """Drives GraphSLAM2D from a message source. Collects the timestamped
+    trajectory (for TUM export / benchmark suites) and per-frame timings."""
+
+    slam_config: GraphSLAMConfig = field(default_factory=GraphSLAMConfig)
+    preprocessor_config: PreprocessorConfig = field(default_factory=PreprocessorConfig)
+    scan_topic: str | None = None
+    odom_topic: str = "/odom"
+    sensor_frame: str | None = None
+    base_frame: str | None = None
+    sensor_in_robot: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.platform = Platform()
+        self.preprocessor = ScanPreprocessor(self.preprocessor_config)
+        self.odom_pre = OdomPreprocessor(self.odom_topic)
+        self.slam: GraphSLAM2D | None = None
+        self.trajectory: list = []  # (timestamp, pose, duration)
+
+    def _ensure_slam(self):
+        if self.slam is None:
+            extr = self.sensor_in_robot
+            if extr is None and self.sensor_frame and self.base_frame:
+                tf = self.platform.get_transform(self.sensor_frame, self.base_frame)
+                extr = tf
+            self.slam = GraphSLAM2D(self.slam_config, sensor_in_robot=extr)
+        return self.slam
+
+    def put_message(self, msg) -> bool:
+        """Feed one message (or pack). Returns True if a frame was processed."""
+        self.platform.add(msg)
+        laser = extract_message(msg, LaserMessage, self.scan_topic)
+        if laser is None:
+            return False
+        odom = self.odom_pre.process(msg)
+        cloud = self.preprocessor.process_message(laser)
+        slam = self._ensure_slam()
+        t0 = time.perf_counter()
+        slam.process(cloud, odom)
+        dt = time.perf_counter() - t0
+        self.trajectory.append((laser.timestamp, slam.robot_in_world(), dt))
+        return True
+
+    def run(self, source, max_frames: int | None = None) -> int:
+        n = 0
+        for msg in source:
+            if self.put_message(msg):
+                n += 1
+                if max_frames is not None and n >= max_frames:
+                    break
+        return n
+
+    # -- observability -------------------------------------------------------
+    def timing_summary(self) -> dict:
+        ts = [d for _, _, d in self.trajectory]
+        if not ts:
+            return {"frames": 0}
+        return {
+            "frames": len(ts),
+            "total_compute_time": float(np.sum(ts)),
+            "mean_frame_time": float(np.mean(ts)),
+            "mean_frame_hz": float(1.0 / np.mean(ts)),
+        }
+
+    def draw(self, canvas) -> None:
+        """MultiGraphSLAM2D::draw equivalent: local map scenes at their
+        optimized poses + trajectory + graph edges."""
+        slam = self.slam
+        if slam is None:
+            return
+        poses = slam.poses_np
+        colors = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd", "#8c564b"]
+        for m in range(slam.n_maps):
+            canvas.push_matrix()
+            canvas.mult_matrix(poses[m])
+            canvas.put_reference_system(0.3)
+            if slam.scenes[m] is not None:
+                canvas.put_cloud(slam.scenes[m], color=colors[m % len(colors)])
+            canvas.pop_matrix()
+        if self.trajectory:
+            canvas.put_trajectory(np.stack([p for _, p, _ in self.trajectory]))
+        # graph edges
+        ei = np.asarray(slam.graph.edge_i)[: slam.n_edges]
+        ej = np.asarray(slam.graph.edge_j)[: slam.n_edges]
+        canvas.put_segments(poses[ei, :2], poses[ej, :2], color="gray")

@@ -34,6 +34,87 @@ from .projector import PolarProjection
 Array = jax.Array
 
 
+def merge_correspondence(
+    scene: Cloud,
+    moving: Cloud,
+    fixed_idx: Array,
+    moving_idx: Array,
+    corr_valid: Array,
+    moving_in_scene: Array,
+    maximum_distance_geometry_squared: float = 0.25,
+    target_number_of_merges: int = 200,
+    enable_binning: bool = True,
+    binning_resolution: float = 0.25,
+) -> Cloud:
+    """Closure-time map merge — equivalent of
+    ``MergerCorrespondencePointNormal2f`` (external; params at
+    configurations/stage_segway_double_config_LASER_0.json:656-670:
+    enable_binning, maximum_distance_geometry_squared 0.25, maximum_response,
+    target_number_of_merges 200).
+
+    Behavior re-created: corresponding point pairs within the squared
+    geometric distance bound are fused (average + normal renormalization);
+    non-corresponded moving points are appended up to
+    ``target_number_of_merges``, optionally decimated onto a coarse grid first
+    (binning = distribution homogenization).
+    """
+    cam = moving_in_scene
+    mov = Cloud(
+        xy=geometry.transform_points(cam, moving.xy),
+        normal=geometry.rotate_vectors(cam, moving.normal),
+        valid=moving.valid,
+    )
+    cap = scene.capacity
+    m_idx = jnp.maximum(moving_idx, 0)
+    f_idx = jnp.maximum(fixed_idx, 0)
+    mp = mov.xy[m_idx]
+    mn = mov.normal[m_idx]
+    sp = scene.xy[f_idx]
+    sn = scene.normal[f_idx]
+    d2 = jnp.sum((mp - sp) ** 2, axis=-1)
+    do_merge = corr_valid & (d2 <= maximum_distance_geometry_squared)
+
+    avg_p = 0.5 * (sp + mp)
+    avg_n = 0.5 * (sn + mn)
+    nrm = jnp.linalg.norm(avg_n, axis=-1, keepdims=True)
+    avg_n = avg_n / jnp.maximum(nrm, 1e-12)
+    tgt = jnp.where(do_merge, f_idx, cap)
+    xy = jnp.concatenate([scene.xy, jnp.zeros((1, 2))]).at[tgt].set(avg_p)[:cap]
+    nm = jnp.concatenate([scene.normal, jnp.zeros((1, 2))]).at[tgt].set(avg_n)[:cap]
+
+    # moving points not claimed by any correspondence -> append candidates
+    claimed = jnp.zeros((mov.capacity,), jnp.bool_).at[
+        jnp.where(do_merge, m_idx, mov.capacity)
+    ].set(True, mode="drop")
+    cand = mov.valid & ~claimed
+    if enable_binning:
+        # keep one candidate per coarse grid cell (first index wins)
+        cell = (
+            jnp.floor(mov.xy[:, 0] / binning_resolution).astype(jnp.int32) * 8192
+            + jnp.floor(mov.xy[:, 1] / binning_resolution).astype(jnp.int32)
+        )
+        order = jnp.argsort(jnp.where(cand, cell, 2**31 - 1))
+        sorted_cell = cell[order]
+        sorted_cand = cand[order]
+        first = jnp.concatenate(
+            [jnp.array([True]), sorted_cell[1:] != sorted_cell[:-1]]
+        )
+        keep_sorted = sorted_cand & first
+        cand = jnp.zeros_like(cand).at[order].set(keep_sorted)
+    # budget: at most target_number_of_merges appended
+    rank = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    cand = cand & (rank < target_number_of_merges)
+
+    count = jnp.sum(scene.valid.astype(jnp.int32))
+    slot = count + jnp.cumsum(cand.astype(jnp.int32)) - 1
+    dest = jnp.where(cand & (slot < cap), slot, cap)
+    xy = jnp.concatenate([xy, jnp.zeros((1, 2))]).at[dest].set(mov.xy)[:cap]
+    nm = jnp.concatenate([nm, jnp.zeros((1, 2))]).at[dest].set(mov.normal)[:cap]
+    new_count = jnp.minimum(count + jnp.sum(cand.astype(jnp.int32)), cap)
+    valid = jnp.arange(cap) < new_count
+    return Cloud(xy=xy, normal=nm, valid=valid)
+
+
 def merge_projective(
     proj: PolarProjection,
     scene: Cloud,
