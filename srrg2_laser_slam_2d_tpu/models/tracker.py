@@ -165,6 +165,117 @@ def track_step_impl(
 track_step = jax.jit(track_step_impl, static_argnames=("cfg",))
 
 
+def track_step_multi_impl(
+    cfg: TrackerConfig,
+    state: TrackerState,
+    measurements: Cloud,   # [C, N, ...] per-cue clouds in their sensor frames
+    extrinsics: Array,     # [C, 3] sensor-in-robot poses
+    odom: Array,
+    odom_valid: Array,
+) -> tuple[TrackerState, TrackStats]:
+    """Multi-cue tracking step (the MULTI config: one tracker slice per
+    rangefinder + the odometry prior slice; each cue clips its own view of the
+    scene and merges back through its own extrinsic). The aligner estimate T
+    here maps prev-robot -> curr-robot directly."""
+    n_cues = extrinsics.shape[0]
+    use_prior = state.has_odom & odom_valid
+    D = jnp.where(use_prior, geometry.relative(state.last_odom, odom), jnp.zeros(3))
+    T0 = geometry.inverse(D)  # prev-robot -> curr-robot initial guess
+
+    # per-cue clipped views, concatenated in the robot frame
+    clips = [
+        clip_op.clip_projective(
+            cfg.projection, state.scene, state.robot_in_local_map,
+            extrinsics[c], cfg.clip_voxelize_resolution,
+        )
+        for c in range(n_cues)
+    ]
+    moving = clips[0]
+    for c in range(1, n_cues):
+        moving = cloud_op.concat(moving, clips[c])
+
+    res = icp.align_multi(
+        cfg.aligner, cfg.projection, measurements, extrinsics, moving, T0,
+        odom_prior=T0,
+    )
+
+    X_new = geometry.compose(state.robot_in_local_map, geometry.inverse(res.estimate))
+
+    scene = state.scene
+    for c in range(n_cues):
+        scene = merge_op.merge_projective(
+            cfg.projection,
+            scene,
+            jax.tree.map(lambda x: x[c], measurements),
+            measurement_in_scene=geometry.compose(X_new, extrinsics[c]),
+            merge_threshold=cfg.merge_threshold,
+        )
+
+    new_state = state._replace(
+        scene=scene,
+        robot_in_local_map=X_new,
+        last_odom=jnp.where(odom_valid, odom, state.last_odom),
+        has_odom=state.has_odom | odom_valid,
+    )
+    stats = TrackStats(
+        estimate=res.estimate,
+        chi=res.chi,
+        num_correspondences=res.num_correspondences,
+        num_inliers=res.num_inliers,
+        iterations=res.iterations,
+    )
+    return new_state, stats
+
+
+track_step_multi = jax.jit(track_step_multi_impl, static_argnames=("cfg",))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def populate_multi(
+    cfg: TrackerConfig, state: TrackerState, measurements: Cloud, extrinsics: Array
+) -> TrackerState:
+    """Seed the scene from all cues at once."""
+    n_cues = extrinsics.shape[0]
+    scene = None
+    for c in range(n_cues):
+        meas_lm = cloud_op.transform(
+            jax.tree.map(lambda x: x[c], measurements),
+            geometry.compose(state.robot_in_local_map, extrinsics[c]),
+        )
+        scene = meas_lm if scene is None else cloud_op.concat(scene, meas_lm)
+    return state._replace(scene=cloud_op.repad(scene, cfg.scene_capacity))
+
+
+class MultiCueTracker:
+    """Host wrapper for dual-rangefinder (+odom) tracking."""
+
+    def __init__(self, cfg: TrackerConfig, extrinsics):
+        self.cfg = cfg
+        self.extrinsics = jnp.asarray(extrinsics, jnp.float32)
+        self.state = init_state(cfg)
+        self._seeded = False
+
+    @property
+    def robot_in_local_map(self) -> Array:
+        return self.state.robot_in_local_map
+
+    def compute(self, measurements: Cloud, odom=None) -> TrackStats | None:
+        if not self._seeded:
+            self.state = populate_multi(self.cfg, self.state, measurements, self.extrinsics)
+            self._seeded = True
+            if odom is not None:
+                self.state = self.state._replace(
+                    last_odom=jnp.asarray(odom, jnp.float32), has_odom=jnp.asarray(True)
+                )
+            return None
+        odom_arr = jnp.asarray(odom, jnp.float32) if odom is not None else jnp.zeros(3)
+        self.state, stats = track_step_multi(
+            self.cfg, self.state, measurements, self.extrinsics,
+            odom_arr, jnp.asarray(odom is not None),
+        )
+        return stats
+
+
 class LaserTracker:
     """Host-side convenience wrapper with the reference's stateful API."""
 

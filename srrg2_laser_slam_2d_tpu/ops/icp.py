@@ -205,6 +205,71 @@ def odom_prior_linearize(estimate: Array, prior: Array, weight: float):
     return H, b, chi
 
 
+def align_multi(
+    cfg: AlignerConfig,
+    proj: PolarProjection,
+    fixed_cues: Cloud,
+    extrinsics: Array,
+    moving: Cloud,
+    initial: Array,
+    odom_prior: Array | None = None,
+) -> AlignResult:
+    """Multi-cue alignment — ``MultiAligner2D`` with several laser slices
+    (the MULTI config: two rangefinders, configurations/
+    stage_segway_double_config_MULTI.json adds a second al_sl_laser slice).
+
+    fixed_cues: [C, N, ...] per-cue measurement clouds, each in its own sensor
+    frame; extrinsics: [C, 3] sensor-in-robot poses; moving: shared scene
+    cloud in the previous robot frame. The estimate T maps prev-robot ->
+    curr-robot. Per cue, matching runs in the cue's sensor frame (its own
+    cached canvas) and linearization in the robot frame via the with-sensor
+    equivalence (see module header); normal systems are summed across cues —
+    a vmapped fan-out the sequential C++ slice loop cannot batch.
+    """
+    from ..utils import cloud as cloud_lib
+
+    cue_canvases = jax.vmap(lambda c: projector_op.project_local(proj, c))(fixed_cues)
+    fixed_rob = jax.vmap(cloud_lib.transform)(fixed_cues, extrinsics)
+    inv_extr = jax.vmap(geometry.inverse)(extrinsics)
+
+    def iteration(estimate):
+        def per_cue(canvas, fixed_c, fixed_rob_c, inv_e):
+            est_cue = geometry.compose(inv_e, estimate)  # moving -> cue frame
+            corr = find_projective(
+                proj, canvas, fixed_c, moving, est_cue,
+                cfg.point_distance, cfg.normal_cos,
+            )
+            n_corr = jnp.sum(corr.valid.astype(jnp.int32))
+            H, b, chi, n_inl, chi_inl_sum = p2p_linearize(
+                estimate, fixed_rob_c, moving, corr, cfg.chi_threshold
+            )
+            return H, b, chi, n_corr, n_inl, chi_inl_sum
+
+        Hs, bs, chis, ncs, nis, cis = jax.vmap(per_cue)(
+            cue_canvases, fixed_cues, fixed_rob, inv_extr
+        )
+        H = jnp.sum(Hs, axis=0)
+        b = jnp.sum(bs, axis=0)
+        chi = jnp.sum(chis)
+        n_corr = jnp.sum(ncs)
+        n_inl = jnp.sum(nis)
+        chi_inl_sum = jnp.sum(cis)
+        if odom_prior is not None and cfg.odom_weight > 0:
+            Ho, bo, chio = odom_prior_linearize(estimate, odom_prior, cfg.odom_weight)
+            H, b, chi = H + Ho, b + bo, chi + chio
+        H = H + cfg.damping * jnp.eye(3, dtype=H.dtype)
+        ok = (n_corr >= max(cfg.min_num_correspondences, 1)) & (
+            n_corr >= cfg.min_num_inliers
+        )
+        dx = jnp.linalg.solve(H + (1.0 - ok) * jnp.eye(3, dtype=H.dtype) * 1e6, -b)
+        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
+        new_estimate = geometry.compose(dx, estimate)
+        chi_inl_mean = chi_inl_sum / jnp.maximum(n_inl.astype(jnp.float32), 1.0)
+        return new_estimate, (chi, n_corr, n_inl, chi_inl_mean)
+
+    return _iterate(cfg, iteration, initial)
+
+
 def align(
     cfg: AlignerConfig,
     proj: PolarProjection,
@@ -246,6 +311,11 @@ def align(
         chi_inl_mean = chi_inl_sum / jnp.maximum(n_inl.astype(jnp.float32), 1.0)
         return new_estimate, (chi, n_corr, n_inl, chi_inl_mean)
 
+    return _iterate(cfg, iteration, initial)
+
+
+def _iterate(cfg: AlignerConfig, iteration, initial: Array) -> AlignResult:
+    """Shared outer ICP loop: <= max_iterations with optional chi-decay stop."""
     max_it = cfg.max_iterations
     stats0 = jnp.zeros((max_it, 4), jnp.float32)
 
