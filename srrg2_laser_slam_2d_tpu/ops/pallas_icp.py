@@ -1,0 +1,264 @@
+"""Fused whole-alignment Pallas kernel — the speed-of-light registration path.
+
+Motivation: the XLA path (ops/icp.py) is a ``lax.while_loop`` over ~dozens of
+small ops per GN iteration; on TPU the wall clock of this tiny workload
+(<=8K points) is dominated by per-op overhead and HBM round-trips, not FLOPs.
+This kernel runs the ENTIRE multi-iteration alignment inside ONE Pallas
+program: clouds live in VMEM for the whole solve, matching is a tiled
+matmul-style distance argmin, correspondent gathers are one-hot matmuls (MXU —
+no dynamic vector gathers, which Mosaic lowers poorly), the normal equations
+are an [M,3]^T@[M,3] MXU reduction, the 3x3 solve is closed-form Cramer
+in-register, and the GN loop is a ``fori_loop`` in-kernel. Ten iterations =
+one kernel launch instead of ~500 dispatched ops.
+
+Correspondence model: bounded nearest-neighbor with normal gating — the
+matmul formulation of CorrespondenceFinderKDTree2D/NN2D (see ops/correspond.py).
+The beam-space projective finder stays on the XLA path where its scatter-min
+is natural; trajectory-parity runs use that path, throughput-critical serving
+uses this kernel (both share the residual model, octave solver/nicp.m:4-24 in
+SE(2)).
+
+VMEM budget: clouds [F,2]x2 + [M,2]x2 + one [M, TF] distance tile.
+F=M=4096, TF=512 -> ~8.5 MB peak, under the ~16 MB/core limit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BIG = 1.0e30  # plain float: jnp scalars become captured consts in Pallas kernels
+
+
+class FusedAlignResult(NamedTuple):
+    estimate: Array     # [3]
+    chi: Array          # []
+    num_inliers: Array  # [] float32
+
+
+def _compose(a, b):
+    ca, sa = jnp.cos(a[2]), jnp.sin(a[2])
+    return jnp.stack(
+        [
+            a[0] + ca * b[0] - sa * b[1],
+            a[1] + sa * b[0] + ca * b[1],
+            a[2] + b[2],
+        ]
+    )
+
+
+def _solve3(H, b):
+    """Closed-form 3x3 solve (Cramer) — no lax.linalg inside the kernel."""
+    a00, a01, a02 = H[0, 0], H[0, 1], H[0, 2]
+    a10, a11, a12 = H[1, 0], H[1, 1], H[1, 2]
+    a20, a21, a22 = H[2, 0], H[2, 1], H[2, 2]
+    det = (
+        a00 * (a11 * a22 - a12 * a21)
+        - a01 * (a10 * a22 - a12 * a20)
+        + a02 * (a10 * a21 - a11 * a20)
+    )
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    x0 = ((a11 * a22 - a12 * a21) * b[0] + (a02 * a21 - a01 * a22) * b[1]
+          + (a01 * a12 - a02 * a11) * b[2]) * inv_det
+    x1 = ((a12 * a20 - a10 * a22) * b[0] + (a00 * a22 - a02 * a20) * b[1]
+          + (a02 * a10 - a00 * a12) * b[2]) * inv_det
+    x2 = ((a10 * a21 - a11 * a20) * b[0] + (a01 * a20 - a00 * a21) * b[1]
+          + (a00 * a11 - a01 * a10) * b[2]) * inv_det
+    return jnp.stack([x0, x1, x2])
+
+
+def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
+                 max_distance2: float, normal_cos: float, chi_threshold: float,
+                 min_inliers: int):
+    n_tiles = n_fixed // tile_f
+
+    def kernel(fgeo_ref, mgeo_ref, t0_ref, out_t_ref, out_stats_ref):
+        # fgeo: [F, 8] = (x, y, nx, ny, valid, |p|^2-with-invalid-penalty, 0, 0)
+        # mgeo: [M, 8] = (x, y, nx, ny, valid, 0, 0, 0)
+        mgeo = mgeo_ref[:]
+        mx0, my0 = mgeo[:, 0], mgeo[:, 1]
+        mnx0, mny0 = mgeo[:, 2], mgeo[:, 3]
+        mval = mgeo[:, 4]
+
+        def nn_pass(T):
+            """Bounded-NN match at pose T: returns transformed moving,
+            correspondent (pf, nf) via one-hot matmul gathers, and d2."""
+            c, s = jnp.cos(T[2]), jnp.sin(T[2])
+            px = c * mx0 - s * my0 + T[0]
+            py = s * mx0 + c * my0 + T[1]
+            nx = c * mnx0 - s * mny0
+            ny = s * mnx0 + c * mny0
+            p2 = px * px + py * py
+
+            def scan_tile(t, carry):
+                best_d2, pfx, pfy, nfx, nfy = carry
+                tile = fgeo_ref[pl.ds(t * tile_f, tile_f), :]   # [TF, 8]
+                fx_t = tile[:, 0:2]
+                f2_t = tile[:, 5]
+                # d2 = |p|^2 + |f|^2 - 2 p.f   ([M, TF])
+                cross = (
+                    px[:, None] * fx_t[None, :, 0] + py[:, None] * fx_t[None, :, 1]
+                )
+                d2 = p2[:, None] + f2_t[None, :] - 2.0 * cross
+                tile_best = jnp.min(d2, axis=1)                  # [M]
+                # one-hot gather of the (first) argmin row -> MXU matmul
+                onehot = (d2 <= tile_best[:, None]).astype(jnp.float32)
+                cnt = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
+                vals = jax.lax.dot_general(
+                    onehot, tile[:, 0:4],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / cnt[:, None]                                 # [M, 4]
+                take = tile_best < best_d2
+                return (
+                    jnp.where(take, tile_best, best_d2),
+                    jnp.where(take, vals[:, 0], pfx),
+                    jnp.where(take, vals[:, 1], pfy),
+                    jnp.where(take, vals[:, 2], nfx),
+                    jnp.where(take, vals[:, 3], nfy),
+                )
+
+            zero = jnp.zeros((n_moving,), jnp.float32)
+            init = (jnp.full((n_moving,), _BIG, jnp.float32), zero, zero, zero, zero)
+            best_d2, pfx, pfy, nfx, nfy = jax.lax.fori_loop(
+                0, n_tiles, scan_tile, init
+            )
+            ndot = nfx * nx + nfy * ny
+            ok = (mval > 0) & (best_d2 <= max_distance2) & (ndot >= normal_cos)
+            return px, py, nx, ny, pfx, pfy, nfx, nfy, ok
+
+        def gn_iter(_, T):
+            px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
+            e1 = nfx * (px - pfx) + nfy * (py - pfy)
+            e2 = nx - nfx
+            e3 = ny - nfy
+            chi = e1 * e1 + e2 * e2 + e3 * e3
+            if chi_threshold > 0:
+                w = jnp.where(
+                    chi < chi_threshold, 1.0,
+                    chi_threshold / jnp.maximum(chi, 1e-20),
+                )
+            else:
+                w = jnp.ones_like(chi)
+            w = jnp.where(ok, w, 0.0)
+            j1c = nfx * (-py) + nfy * px
+            sw = jnp.sqrt(w)
+            Jw = jnp.stack([sw * nfx, sw * nfy, sw * j1c], axis=1)  # [M, 3]
+            H = jax.lax.dot_general(
+                Jw, Jw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sn2 = nx * nx + ny * ny
+            H = H.at[2, 2].add(jnp.sum(w * sn2))
+            bvec = jnp.stack(
+                [
+                    jnp.sum(w * nfx * e1),
+                    jnp.sum(w * nfy * e1),
+                    jnp.sum(w * (j1c * e1 + (-ny) * e2 + nx * e3)),
+                ]
+            )
+            n_ok = jnp.sum(ok.astype(jnp.float32))
+            dx = _solve3(H, -bvec)
+            dx = jnp.where(n_ok >= min_inliers, dx, jnp.zeros_like(dx))
+            return _compose(dx, T)
+
+        T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
+
+        # final stats at the solution
+        px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
+        e1 = nfx * (px - pfx) + nfy * (py - pfy)
+        e2 = nx - nfx
+        e3 = ny - nfy
+        chi = jnp.where(ok, e1 * e1 + e2 * e2 + e3 * e3, 0.0)
+        out_t_ref[0, :] = T
+        out_stats_ref[0, 0] = jnp.sum(chi)
+        out_stats_ref[0, 1] = jnp.sum(ok.astype(jnp.float32))
+
+    return kernel
+
+
+def _pack_fixed(xy, normal, valid):
+    f = xy.shape[0]
+    valid_f = valid.astype(jnp.float32)
+    f2 = jnp.sum(xy * xy, axis=1) + jnp.where(valid_f > 0, 0.0, _BIG)
+    return jnp.concatenate(
+        [xy, normal, valid_f[:, None], f2[:, None], jnp.zeros((f, 2), jnp.float32)],
+        axis=1,
+    )
+
+
+def _pack_moving(xy, normal, valid):
+    m = xy.shape[0]
+    return jnp.concatenate(
+        [xy, normal, valid.astype(jnp.float32)[:, None], jnp.zeros((m, 3), jnp.float32)],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "max_distance", "normal_cos", "chi_threshold",
+        "min_inliers", "tile_f", "interpret",
+    ),
+)
+def fused_align_nn(
+    fixed_xy: Array, fixed_normal: Array, fixed_valid: Array,
+    moving_xy: Array, moving_normal: Array, moving_valid: Array,
+    initial: Array,
+    iterations: int = 10,
+    max_distance: float = 0.5,
+    normal_cos: float = 0.8,
+    chi_threshold: float = 0.05,
+    min_inliers: int = 10,
+    tile_f: int = 512,
+    interpret: bool = False,
+) -> FusedAlignResult:
+    """One-kernel NN-ICP alignment. fixed [F,2] (F % tile_f == 0), moving
+    [M,2]; ``initial`` [3] is moving-in-fixed. Set ``interpret=True`` to run
+    the same kernel on CPU (tests)."""
+    f = fixed_xy.shape[0]
+    m = moving_xy.shape[0]
+    assert f % tile_f == 0, (f, tile_f)
+
+    kernel = _make_kernel(
+        m, f, tile_f, iterations,
+        float(max_distance) ** 2, float(normal_cos), float(chi_threshold),
+        int(min_inliers),
+    )
+    out_t, out_stats = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        _pack_fixed(fixed_xy, fixed_normal, fixed_valid),
+        _pack_moving(moving_xy, moving_normal, moving_valid),
+        initial.reshape(1, 3).astype(jnp.float32),
+    )
+    return FusedAlignResult(
+        estimate=out_t[0], chi=out_stats[0, 0], num_inliers=out_stats[0, 1]
+    )
+
+
+def fused_align_cloud(fixed, moving, initial, **kw) -> FusedAlignResult:
+    """Cloud-typed convenience wrapper."""
+    return fused_align_nn(
+        fixed.xy, fixed.normal, fixed.valid,
+        moving.xy, moving.normal, moving.valid,
+        initial, **kw,
+    )
