@@ -192,6 +192,15 @@ def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.Gr
     )
 
 
+def multi_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.GraphSLAMConfig:
+    """MULTI assembly: dual rangefinders + wheel odometry
+    (configurations/stage_segway_double_config_MULTI.json — identical to
+    LASER_0 except for the second laser slice, which in this framework means
+    running the tracker through models.tracker.MultiCueTracker with two
+    extrinsics; the SLAM-level parameters are unchanged)."""
+    return laser0_slam(num_beams, scene_capacity)
+
+
 def default_config_manager() -> config_mod.ConfigManager:
     """The slam_app -j equivalent: a complete named default assembly."""
     mgr = config_mod.ConfigManager()
