@@ -50,3 +50,23 @@ def track_sequence(
 def preprocess_batch(proj: PolarProjection, pcfg: PreprocessorConfig, ranges: Array) -> Cloud:
     """Preprocess a [T, num_beams] stack of scans in one batched program."""
     return jax.vmap(lambda r: preprocess_scan(proj, pcfg, r))(ranges)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_sequence_batch(
+    cfg: tracker_mod.TrackerConfig,
+    states: tracker_mod.TrackerState,   # [B, ...] stacked stream states
+    meas_stack: Cloud,                  # [B, T, N, ...]
+    odoms: Array,                       # [B, T, 3]
+    odom_valid: Array,                  # [B, T]
+):
+    """B independent tracking streams advanced T frames each — the serving
+    configuration (multi-robot / multi-session). Per-frame semantics are
+    identical to the sequential tracker; the batch amortizes the per-op
+    overhead that dominates this scan-sized workload on TPU, which is where
+    the >=10x-per-chip headline comes from (BASELINE.json north star)."""
+
+    def one(state, meas, od, ov):
+        return track_sequence(cfg, state, meas, od, ov)
+
+    return jax.vmap(one)(states, meas_stack, odoms, odom_valid)

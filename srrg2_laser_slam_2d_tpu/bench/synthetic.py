@@ -98,7 +98,8 @@ def simulate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticDataset:
     sensor_in_robot = np.array(cfg.sensor_in_robot)
 
     robot = np.zeros(3)
-    robot_poses, sensor_poses, all_ranges = [], [], []
+    robot_poses, sensor_poses = [], []
+    import jax
     import jax.numpy as jnp
 
     for step in range(cfg.steps + 1):
@@ -108,17 +109,28 @@ def simulate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticDataset:
             )
             robot = _compose(robot, motion)
         sensor = _compose(robot, sensor_in_robot)
-        canvas, _ = projector_op.project(proj, jnp.asarray(sensor, jnp.float32), scene)
-        ranges = np.asarray(projector_op.ranges_from_canvas(canvas))
         robot_poses.append(robot.copy())
         sensor_poses.append(sensor)
-        all_ranges.append(ranges)
+
+    # simulate every scan in one vmapped device program (the per-step loop
+    # would pay a dispatch + possible compile per pose)
+    @jax.jit
+    def scan_all(poses):
+        def one(pose):
+            canvas, _ = projector_op.project(proj, pose, scene)
+            return projector_op.ranges_from_canvas(canvas)
+
+        return jax.vmap(one)(poses)
+
+    all_ranges = np.asarray(
+        scan_all(jnp.asarray(np.stack(sensor_poses), jnp.float32))
+    )
 
     return SyntheticDataset(
         config=cfg,
         scene=scene,
         robot_poses=np.stack(robot_poses).astype(np.float32),
         sensor_poses=np.stack(sensor_poses).astype(np.float32),
-        ranges=np.stack(all_ranges).astype(np.float32),
+        ranges=all_ranges.astype(np.float32),
         projection=proj,
     )

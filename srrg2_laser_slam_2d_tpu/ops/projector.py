@@ -103,8 +103,30 @@ def project(proj: PolarProjection, camera_pose: Array, cloud: Cloud) -> tuple[Ca
     return canvas, local
 
 
+# Backend switch for the z-buffer: the scatter-min formulation is fine on CPU
+# but XLA serializes non-unique-index scatters on TPU; there the Pallas dense
+# min/argmin kernel (ops/pallas_projector.py) is used instead. Tri-state:
+# None = auto (Pallas on TPU-like backends), True/False = forced.
+USE_PALLAS_ZBUFFER: bool | None = None
+
+
+def _pallas_zbuffer() -> bool:
+    if USE_PALLAS_ZBUFFER is not None:
+        return USE_PALLAS_ZBUFFER
+    return jax.default_backend() != "cpu"
+
+
 def project_local(proj: PolarProjection, local: Cloud) -> Canvas:
     """Project a cloud already expressed in the sensor frame."""
+    if _pallas_zbuffer():
+        from . import pallas_projector
+
+        return pallas_projector.project_local_pallas(proj, local.xy, local.valid)
+    return project_local_xla(proj, local)
+
+
+def project_local_xla(proj: PolarProjection, local: Cloud) -> Canvas:
+    """Scatter-min z-buffer (reference formulation; CPU-friendly)."""
     n = local.capacity
     x, y = local.xy[:, 0], local.xy[:, 1]
     depth = jnp.sqrt(x * x + y * y)
