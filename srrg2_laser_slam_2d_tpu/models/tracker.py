@@ -61,6 +61,13 @@ class TrackerConfig:
     # (ops/pallas_projective_align.py) instead of the XLA while_loop — same
     # correspondence/residual model, ~3x lower per-frame latency on TPU
     use_fused_aligner: bool = False
+    # Pallas clip/merge kernels (ops/pallas_scene.py): chunked VMEM z-buffers
+    # with matmul write-back instead of XLA scatters
+    use_fused_scene_ops: bool = False
+    # scene clipper plugin slot (TrackerSliceProcessor param_clipper):
+    # "projective" (SceneClipperProjective2D) or "ball" (SceneClipperBall2D)
+    clipper: str = "projective"
+    ball_max_range: float = 10.0  # SceneClipperBall2D max_range
 
 
 class TrackerState(NamedTuple):
@@ -120,13 +127,28 @@ def track_step_impl(
     # T' maps prev-robot frame -> current-sensor frame: T'0 = S^-1 ∘ D^-1 = (D∘S)^-1
     T0 = geometry.inverse(geometry.compose(D, S))
 
-    clipped = clip_op.clip_projective(
-        cfg.projection,
-        state.scene,
-        state.robot_in_local_map,
-        S,
-        cfg.clip_voxelize_resolution,
-    )
+    if cfg.clipper == "ball":
+        clipped = clip_op.clip_ball(
+            state.scene, state.robot_in_local_map, S, cfg.ball_max_range
+        )
+    elif cfg.use_fused_scene_ops:
+        from ..ops import pallas_scene
+
+        clipped = pallas_scene.clip_projective_pallas(
+            cfg.projection,
+            state.scene,
+            state.robot_in_local_map,
+            S,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        clipped = clip_op.clip_projective(
+            cfg.projection,
+            state.scene,
+            state.robot_in_local_map,
+            S,
+            cfg.clip_voxelize_resolution,
+        )
 
     if cfg.use_fused_aligner:
         from ..ops import pallas_projective_align as ppa
@@ -170,13 +192,25 @@ def track_step_impl(
         state.robot_in_local_map, geometry.inverse(geometry.compose(S, res.estimate))
     )
 
-    scene = merge_op.merge_projective(
-        cfg.projection,
-        state.scene,
-        measurement,
-        measurement_in_scene=geometry.compose(X_new, S),
-        merge_threshold=cfg.merge_threshold,
-    )
+    if cfg.use_fused_scene_ops:
+        from ..ops import pallas_scene
+
+        scene = pallas_scene.merge_projective_pallas(
+            cfg.projection,
+            state.scene,
+            measurement,
+            measurement_in_scene=geometry.compose(X_new, S),
+            merge_threshold=cfg.merge_threshold,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        scene = merge_op.merge_projective(
+            cfg.projection,
+            state.scene,
+            measurement,
+            measurement_in_scene=geometry.compose(X_new, S),
+            merge_threshold=cfg.merge_threshold,
+        )
 
     new_state = state._replace(
         scene=scene,

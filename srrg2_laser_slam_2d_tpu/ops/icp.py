@@ -70,6 +70,15 @@ class AlignerConfig:
     min_num_correspondences: int = 0
     # odometry prior slice weight (identity info scaled); 0 disables
     odom_weight: float = 1.0
+    # correspondence finder plugged into the loop — the reference's
+    # param_finder slot (aligner_slice_processor_laser_2d.h:14):
+    #   "projective"  -> CorrespondenceFinderProjective2f (default)
+    #   "nn_grid"     -> CorrespondenceFinderNN2D (jump-flooded distance map)
+    #   "bruteforce"  -> CorrespondenceFinderKDTree2D role (exact bounded NN)
+    finder: str = "projective"
+    finder_max_distance: float = 1.0   # max_distance_m of the NN finders
+    finder_resolution: float = 0.05    # nn_grid map resolution [m/px]
+    finder_grid_size: int = 256        # nn_grid static grid side [px]
 
 
 def solve3(H: Array, b: Array) -> Array:
@@ -306,13 +315,41 @@ def align(
     Not jitted here so callers control jit/vmap boundaries; everything inside
     is trace-compatible (static shapes, lax control flow).
     """
-    fixed_canvas = projector_op.project_local(proj, fixed)
+    if cfg.finder == "projective":
+        fixed_canvas = projector_op.project_local(proj, fixed)
+
+        def find(estimate):
+            return find_projective(
+                proj, fixed_canvas, fixed, moving, estimate,
+                cfg.point_distance, cfg.normal_cos,
+            )
+
+    elif cfg.finder == "nn_grid":
+        from . import correspond, distance_map
+
+        field = distance_map.build(
+            fixed, cfg.finder_grid_size, cfg.finder_grid_size, cfg.finder_resolution
+        )
+
+        def find(estimate):
+            return correspond.find_nn_grid(
+                field, fixed, moving, estimate,
+                cfg.finder_max_distance, cfg.normal_cos,
+            )
+
+    elif cfg.finder == "bruteforce":
+        from . import correspond
+
+        def find(estimate):
+            return correspond.find_bruteforce_nn(
+                fixed, moving, estimate, cfg.finder_max_distance, cfg.normal_cos
+            )
+
+    else:
+        raise ValueError(f"unknown finder {cfg.finder!r}")
 
     def iteration(estimate):
-        corr = find_projective(
-            proj, fixed_canvas, fixed, moving, estimate,
-            cfg.point_distance, cfg.normal_cos,
-        )
+        corr = find(estimate)
         n_corr = jnp.sum(corr.valid.astype(jnp.int32))
         H, b, chi, n_inl, chi_inl_sum = p2p_linearize(
             estimate, fixed, moving, corr, cfg.chi_threshold

@@ -50,3 +50,20 @@ def test_pallas_handles_multi_chunk():
         proj, cloud.xy, cloud.valid, chunk=1024, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+
+
+def test_sort_zbuffer_matches_scatter():
+    proj = projector.PolarProjection.make(
+        cols=721, angle_min=-np.pi, angle_max=np.pi, range_min=0.3, range_max=20.0
+    )
+    cloud = random_cloud(n=3000, seed=5, cap=4096)
+    ref = projector.project_local_xla(proj, cloud)
+    got = projector.project_local_sort(proj, cloud)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    v = np.asarray(ref.valid)
+    # winner indices agree except where depth quantization (<10um) tied
+    same = np.asarray(got.idx)[v] == np.asarray(ref.idx)[v]
+    assert same.mean() > 0.999, same.mean()
+    np.testing.assert_allclose(
+        np.asarray(got.depth)[v], np.asarray(ref.depth)[v], atol=1e-4
+    )
