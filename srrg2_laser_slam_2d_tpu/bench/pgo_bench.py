@@ -1,0 +1,119 @@
+"""City-scale pose-graph benchmark — BASELINE.json config #5: a synthetic
+multi-session grid-world graph at up to 1M+ nodes, solved with the matrix-free
+PCG Gauss-Newton (solver/cg.py), optionally distributed over a device mesh.
+
+The generator builds a Manhattan-world lattice (odometry chain per row +
+column ties + long-range closures) with controlled noise — the structural
+shape of large indoor/urban 2D SLAM graphs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..solver import cg, pgo
+from ..utils import geometry
+
+
+@dataclass
+class PGOBenchResult:
+    nodes: int
+    edges: int
+    chi0: float
+    chi1: float
+    seconds_per_gn_iteration: float
+    iterations: int
+
+
+def make_grid_graph(side: int, noise: float = 0.02, closure_every: int = 8,
+                    seed: int = 0) -> pgo.PoseGraph:
+    """side x side lattice graph with noisy edges and periodic long closures."""
+    rng = np.random.default_rng(seed)
+    v = side * side
+    cols = np.arange(side, dtype=np.float32)
+    gx, gy = np.meshgrid(cols, cols)
+    gt = np.stack([gx.ravel(), gy.ravel(), np.zeros(v, np.float32)], axis=1)
+
+    # edges: right neighbors + down neighbors (+ sparse diagonal closures)
+    idx = np.arange(v).reshape(side, side)
+    ei = [idx[:, :-1].ravel(), idx[:-1, :].ravel()]
+    ej = [idx[:, 1:].ravel(), idx[1:, :].ravel()]
+    if closure_every > 1:
+        ci = idx[::closure_every, ::closure_every]
+        ei.append(ci[:-1, :-1].ravel())
+        ej.append(ci[1:, 1:].ravel())
+    ei = np.concatenate(ei).astype(np.int32)
+    ej = np.concatenate(ej).astype(np.int32)
+    e = len(ei)
+
+    # measurements = GT relative + noise (vectorized, no per-edge Python)
+    rel = np.asarray(
+        geometry.relative(jnp.asarray(gt[ei]), jnp.asarray(gt[ej]))
+    )
+    meas = rel + rng.normal(scale=noise, size=(e, 3)).astype(np.float32)
+    init = gt + rng.normal(scale=0.1, size=(v, 3)).astype(np.float32)
+    init[0] = gt[0]
+
+    def up(x, m=1):
+        c = m
+        while c < x:
+            c *= 2
+        return c
+
+    graph = pgo.empty_graph(up(v, 16), up(e, 16))
+    return graph._replace(
+        poses=graph.poses.at[:v].set(jnp.asarray(init)),
+        var_valid=graph.var_valid.at[:v].set(True),
+        var_fixed=graph.var_fixed.at[0].set(True),
+        edge_i=graph.edge_i.at[:e].set(jnp.asarray(ei)),
+        edge_j=graph.edge_j.at[:e].set(jnp.asarray(ej)),
+        edge_meas=graph.edge_meas.at[:e].set(jnp.asarray(meas)),
+        edge_valid=graph.edge_valid.at[:e].set(True),
+    )
+
+
+def edge_chi(graph: pgo.PoseGraph) -> float:
+    """Edge-wise chi2 (the dense pgo.graph_chi materializes an O(V^2) Hessian
+    and cannot be used at city scale)."""
+    _, _, _, _, chi = cg._linearize_blocks(graph, 0.0)
+    return float(chi)
+
+
+def run(side: int = 64, gn_iterations: int = 5, cg_iterations: int = 50,
+        reps: int = 3) -> PGOBenchResult:
+    graph = make_grid_graph(side)
+    cfg = cg.CGConfig(gn_iterations=gn_iterations, cg_iterations=cg_iterations)
+    chi0 = edge_chi(graph)
+    out, chi, it = cg.optimize_cg(cfg, graph)   # compile + run
+    jax.block_until_ready(out.poses)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, chi, it = cg.optimize_cg(cfg, graph)
+    jax.block_until_ready(out.poses)
+    dt = (time.perf_counter() - t0) / reps
+    chi1 = edge_chi(out)
+    return PGOBenchResult(
+        nodes=side * side,
+        edges=int(graph.num_edges()),
+        chi0=chi0,
+        chi1=chi1,
+        seconds_per_gn_iteration=dt / max(int(it), 1),
+        iterations=int(it),
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    r = run(side)
+    print(
+        f"nodes={r.nodes} edges={r.edges} chi {r.chi0:.1f}->{r.chi1:.1f} "
+        f"{r.seconds_per_gn_iteration*1000:.1f} ms/GN-iter ({r.iterations} iters)"
+    )

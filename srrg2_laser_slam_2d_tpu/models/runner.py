@@ -37,6 +37,9 @@ class SlamRunner:
     slam_config: GraphSLAMConfig = field(default_factory=GraphSLAMConfig)
     preprocessor_config: PreprocessorConfig = field(default_factory=PreprocessorConfig)
     scan_topic: str | None = None
+    # MULTI config: several laser topics, one per cue (requires
+    # slam_config.cue_extrinsics of the same length)
+    scan_topics: list | None = None
     odom_topic: str = "/odom"
     sensor_frame: str | None = None
     base_frame: str | None = None
@@ -61,11 +64,24 @@ class SlamRunner:
     def put_message(self, msg) -> bool:
         """Feed one message (or pack). Returns True if a frame was processed."""
         self.platform.add(msg)
-        laser = extract_message(msg, LaserMessage, self.scan_topic)
-        if laser is None:
-            return False
+        if self.scan_topics:
+            # multi-cue: one laser message per topic must be present
+            import jax
+
+            lasers = [extract_message(msg, LaserMessage, t) for t in self.scan_topics]
+            if any(m is None for m in lasers):
+                return False
+            clouds = [self.preprocessor.process_message(m) for m in lasers]
+            import jax.numpy as jnp
+
+            cloud = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+            laser = lasers[0]
+        else:
+            laser = extract_message(msg, LaserMessage, self.scan_topic)
+            if laser is None:
+                return False
+            cloud = self.preprocessor.process_message(laser)
         odom = self.odom_pre.process(msg)
-        cloud = self.preprocessor.process_message(laser)
         slam = self._ensure_slam()
         t0 = time.perf_counter()
         slam.process(cloud, odom)

@@ -48,6 +48,11 @@ class GraphSLAMConfig:
     global_solver: pgo.PGOConfig = field(default_factory=pgo.PGOConfig)
     enable_loop_closure: bool = True
     enable_relocalizer: bool = True
+    # MULTI config: per-cue sensor extrinsics ((x, y, theta), ...). When set,
+    # the tracker runs as MultiCueTracker and ``process`` expects cue-stacked
+    # measurements [C, N, ...] (configurations/..._MULTI.json adds the second
+    # laser slice; here it is this one field)
+    cue_extrinsics: tuple | None = None
 
 
 class GraphSLAM2D:
@@ -56,7 +61,12 @@ class GraphSLAM2D:
 
     def __init__(self, cfg: GraphSLAMConfig = GraphSLAMConfig(), sensor_in_robot=None):
         self.cfg = cfg
-        self.tracker = tracker_mod.LaserTracker(cfg.tracker, sensor_in_robot)
+        if cfg.cue_extrinsics is not None:
+            self.tracker = tracker_mod.MultiCueTracker(
+                cfg.tracker, np.asarray(cfg.cue_extrinsics, np.float32)
+            )
+        else:
+            self.tracker = tracker_mod.LaserTracker(cfg.tracker, sensor_in_robot)
         self.graph = pgo.empty_graph(cfg.var_capacity, cfg.edge_capacity)
         self.scenes: list[Cloud] = []     # one scene per local map (its frame)
         self.adjacency: list[set[int]] = []

@@ -325,6 +325,14 @@ class MultiCueTracker:
     def robot_in_local_map(self) -> Array:
         return self.state.robot_in_local_map
 
+    def set_scene(self, scene: Cloud, robot_in_local_map=None) -> None:
+        self.state = self.state._replace(scene=scene)
+        if robot_in_local_map is not None:
+            self.state = self.state._replace(
+                robot_in_local_map=jnp.asarray(robot_in_local_map, jnp.float32)
+            )
+        self._seeded = True
+
     def compute(self, measurements: Cloud, odom=None) -> TrackStats | None:
         if not self._seeded:
             self.state = populate_multi(self.cfg, self.state, measurements, self.extrinsics)
