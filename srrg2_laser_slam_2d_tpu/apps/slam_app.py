@@ -24,6 +24,19 @@ from ..utils import presets
 
 
 def build_runner(args) -> SlamRunner:
+    if getattr(args, "boss_config", None):
+        # ingest the reference's shipped BOSS assembly directly
+        from ..io import boss_config
+
+        g = boss_config.load(args.boss_config)
+        return SlamRunner(
+            slam_config=boss_config.to_slam_config(g),
+            preprocessor_config=boss_config.to_preprocessor_config(g),
+            scan_topic=args.scan_topic,
+            odom_topic=args.odom_topic,
+            sensor_frame=args.sensor_frame,
+            base_frame=args.base_frame,
+        )
     if args.config and not args.generate_config:
         try:
             mgr = config_mod.ConfigManager.read(args.config)
@@ -52,6 +65,8 @@ def main(argv=None) -> int:
                     help="config file to read/write")
     ap.add_argument("-j", "--generate-config", action="store_true",
                     help="generate a default configuration and exit")
+    ap.add_argument("--boss-config", default=None,
+                    help="read a reference-format BOSS pipeline config")
     ap.add_argument("-i", "--input", default=None, help="input JSONL message log")
     ap.add_argument("--carmen", default=None, help="input CARMEN log")
     ap.add_argument("-o", "--output", default=None, help="TUM trajectory output")

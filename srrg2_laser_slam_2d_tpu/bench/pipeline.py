@@ -34,16 +34,34 @@ def track_sequence(
     """Run T sequential tracking steps on device; returns final state and the
     per-frame pose/chi/inlier traces."""
 
-    def step(state, inputs):
-        meas, odom, ov = inputs
-        new_state, stats = tracker_mod.track_step_impl(cfg, state, meas, odom, ov)
-        return new_state, (
-            new_state.robot_in_local_map,
-            stats.chi,
-            stats.num_inliers,
-        )
+    def make_step(use_cache: bool):
+        def step(state, inputs):
+            meas, odom, ov = inputs
+            new_state, stats = tracker_mod.track_step_impl(
+                cfg, state, meas, odom, ov, use_clip_cache=use_cache
+            )
+            return new_state, (
+                new_state.robot_in_local_map,
+                stats.chi,
+                stats.num_inliers,
+            )
 
-    return jax.lax.scan(step, state, (meas_stack, odoms, odom_valid))
+        return step
+
+    inputs = (meas_stack, odoms, odom_valid)
+    if not cfg.reuse_clip_canvas:
+        return jax.lax.scan(make_step(False), state, inputs)
+
+    # canvas reuse: frame 0 clips from the scene (no cache yet), the scan
+    # over the remaining frames reuses the merge canvases
+    first = jax.tree.map(lambda x: x[0], inputs)
+    state, tr0 = make_step(False)(state, first)
+    rest = jax.tree.map(lambda x: x[1:], inputs)
+    state, trs = jax.lax.scan(make_step(True), state, rest)
+    traces = jax.tree.map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), tr0, trs
+    )
+    return state, traces
 
 
 @functools.partial(jax.jit, static_argnames=("proj", "pcfg"))

@@ -68,6 +68,12 @@ class TrackerConfig:
     # "projective" (SceneClipperProjective2D) or "ball" (SceneClipperBall2D)
     clipper: str = "projective"
     ball_max_range: float = 10.0  # SceneClipperBall2D max_range
+    # fast path: the merger's scene projection at X_new∘S is exactly the next
+    # frame's clip camera, so its post-merge canvas (ops/merge.py
+    # return_canvas) replaces the clipper's full scene projection. Saves one
+    # scene-sized z-buffer per frame; sub-beam-resolution deviations only
+    # (see merge_projective docstring). Incompatible with use_fused_scene_ops.
+    reuse_clip_canvas: bool = False
 
 
 class TrackerState(NamedTuple):
@@ -78,6 +84,7 @@ class TrackerState(NamedTuple):
     last_odom: Array           # [3] last odometry pose fed in
     has_odom: Array            # [] bool
     sensor_in_robot: Array     # [3] laser extrinsic (from the TF tree)
+    clip_cache: Cloud          # [cols] post-merge beam canvas (sensor frame)
 
 
 class TrackStats(NamedTuple):
@@ -97,6 +104,7 @@ def init_state(cfg: TrackerConfig, sensor_in_robot=None) -> TrackerState:
         last_odom=jnp.zeros(3, jnp.float32),
         has_odom=jnp.asarray(False),
         sensor_in_robot=jnp.asarray(sensor_in_robot, jnp.float32),
+        clip_cache=cloud_op.empty(cfg.projection.cols),
     )
 
 
@@ -116,6 +124,7 @@ def track_step_impl(
     measurement: Cloud,
     odom: Array,
     odom_valid: Array,
+    use_clip_cache: bool = False,
 ) -> tuple[TrackerState, TrackStats]:
     """One tracking step. ``odom`` is the current odometry pose (any fixed
     odom frame); ``odom_valid`` gates the prior."""
@@ -127,7 +136,11 @@ def track_step_impl(
     # T' maps prev-robot frame -> current-sensor frame: T'0 = S^-1 ∘ D^-1 = (D∘S)^-1
     T0 = geometry.inverse(geometry.compose(D, S))
 
-    if cfg.clipper == "ball":
+    if use_clip_cache and cfg.reuse_clip_canvas:
+        # the cache holds last merge's post-merge beam canvas in the sensor
+        # frame at exactly this frame's clip camera — just re-frame it
+        clipped = cloud_op.transform(state.clip_cache, S)
+    elif cfg.clipper == "ball":
         clipped = clip_op.clip_ball(
             state.scene, state.robot_in_local_map, S, cfg.ball_max_range
         )
@@ -192,9 +205,13 @@ def track_step_impl(
         state.robot_in_local_map, geometry.inverse(geometry.compose(S, res.estimate))
     )
 
+    clip_cache = state.clip_cache
     if cfg.use_fused_scene_ops:
         from ..ops import pallas_scene
 
+        assert not cfg.reuse_clip_canvas, (
+            "reuse_clip_canvas requires the XLA merge path (return_canvas)"
+        )
         scene = pallas_scene.merge_projective_pallas(
             cfg.projection,
             state.scene,
@@ -202,6 +219,15 @@ def track_step_impl(
             measurement_in_scene=geometry.compose(X_new, S),
             merge_threshold=cfg.merge_threshold,
             interpret=jax.default_backend() == "cpu",
+        )
+    elif cfg.reuse_clip_canvas:
+        scene, clip_cache = merge_op.merge_projective(
+            cfg.projection,
+            state.scene,
+            measurement,
+            measurement_in_scene=geometry.compose(X_new, S),
+            merge_threshold=cfg.merge_threshold,
+            return_canvas=True,
         )
     else:
         scene = merge_op.merge_projective(
@@ -217,6 +243,7 @@ def track_step_impl(
         robot_in_local_map=X_new,
         last_odom=jnp.where(odom_valid, odom, state.last_odom),
         has_odom=state.has_odom | odom_valid,
+        clip_cache=clip_cache,
     )
     stats = TrackStats(
         estimate=res.estimate,
@@ -228,7 +255,7 @@ def track_step_impl(
     return new_state, stats
 
 
-track_step = jax.jit(track_step_impl, static_argnames=("cfg",))
+track_step = jax.jit(track_step_impl, static_argnames=("cfg", "use_clip_cache"))
 
 
 def track_step_multi_impl(
@@ -357,6 +384,7 @@ class LaserTracker:
         self.cfg = cfg
         self.state = init_state(cfg, sensor_in_robot)
         self._seeded = False
+        self._has_clip_cache = False
 
     @property
     def robot_in_local_map(self) -> Array:
@@ -369,11 +397,13 @@ class LaserTracker:
                 robot_in_local_map=jnp.asarray(robot_in_local_map, jnp.float32)
             )
         self._seeded = True
+        self._has_clip_cache = False
 
     def compute(self, measurement: Cloud, odom=None) -> TrackStats | None:
         if not self._seeded:
             self.state = populate(self.cfg, self.state, measurement)
             self._seeded = True
+            self._has_clip_cache = False
             if odom is not None:
                 self.state = self.state._replace(
                     last_odom=jnp.asarray(odom, jnp.float32), has_odom=jnp.asarray(True)
@@ -384,6 +414,8 @@ class LaserTracker:
         )
         odom_valid = jnp.asarray(odom is not None)
         self.state, stats = track_step(
-            self.cfg, self.state, measurement, odom_arr, odom_valid
+            self.cfg, self.state, measurement, odom_arr, odom_valid,
+            use_clip_cache=self._has_clip_cache and self.cfg.reuse_clip_canvas,
         )
+        self._has_clip_cache = bool(self.cfg.reuse_clip_canvas)
         return stats

@@ -121,17 +121,28 @@ def merge_projective(
     measurement: Cloud,
     measurement_in_scene: Array,
     merge_threshold: float = 0.2,
-) -> Cloud:
+    return_canvas: bool = False,
+):
     """Fuse ``measurement`` (own frame) into ``scene`` (scene frame) given the
-    estimated measurement pose. Returns the updated scene (same capacity)."""
+    estimated measurement pose. Returns the updated scene (same capacity).
+
+    With ``return_canvas`` also returns the post-merge visible cell per beam
+    as a beam-indexed cloud in the CAMERA (sensor) frame: exactly the view the
+    next frame's clipper would extract from this camera pose, letting the
+    tracker skip one full scene projection per frame (models/tracker.py
+    ``reuse_clip_canvas``). Cell values: merged -> averaged point, replaced/
+    appended -> measurement point, untouched -> scene winner. (A true
+    re-projection of the merged scene can differ on cells whose averaged
+    point drifts across a beam boundary — sub-resolution effects the aligner
+    is robust to; parity runs keep the flag off.)"""
     cam = measurement_in_scene
-    scene_canvas, _ = projector_op.project(proj, cam, scene)
+    scene_canvas, scene_local = projector_op.project(proj, cam, scene)
     meas_in_scene = Cloud(
         xy=geometry.transform_points(cam, measurement.xy),
         normal=geometry.rotate_vectors(cam, measurement.normal),
         valid=measurement.valid,
     )
-    meas_canvas, _ = projector_op.project(proj, cam, meas_in_scene)
+    meas_canvas, meas_local = projector_op.project(proj, cam, meas_in_scene)
 
     # per-beam cells
     m_ok = meas_canvas.valid & (meas_canvas.depth <= 0.9 * proj.range_max)
@@ -180,5 +191,25 @@ def merge_projective(
     nm = jnp.concatenate([nm, jnp.zeros((1, 2), nm.dtype)]).at[dest].set(mn)[:cap]
     new_count = jnp.minimum(count + jnp.sum(do_append.astype(jnp.int32)), cap)
     valid = jnp.arange(cap) < new_count
+    new_scene = Cloud(xy=xy, normal=nm, valid=valid)
+    if not return_canvas:
+        return new_scene
 
-    return Cloud(xy=xy, normal=nm, valid=valid)
+    # post-merge per-beam cell in the camera frame (see docstring)
+    s_loc_p = scene_local.xy[s_idx]
+    s_loc_n = scene_local.normal[s_idx]
+    m_loc_p = meas_local.xy[m_idx]
+    m_loc_n = meas_local.normal[m_idx]
+    avg_loc_p = 0.5 * (s_loc_p + m_loc_p)
+    avg_loc_n = 0.5 * (s_loc_n + m_loc_n)
+    nrm_loc = jnp.linalg.norm(avg_loc_n, axis=-1, keepdims=True)
+    avg_loc_n = avg_loc_n / jnp.maximum(nrm_loc, 1e-12)
+    cell_p = jnp.where(
+        do_merge[:, None], avg_loc_p, jnp.where(m_ok[:, None], m_loc_p, s_loc_p)
+    )
+    cell_n = jnp.where(
+        do_merge[:, None], avg_loc_n, jnp.where(m_ok[:, None], m_loc_n, s_loc_n)
+    )
+    cell_valid = m_ok | s_ok
+    canvas_cloud = Cloud(xy=cell_p, normal=cell_n, valid=cell_valid)
+    return new_scene, canvas_cloud

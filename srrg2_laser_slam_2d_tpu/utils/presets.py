@@ -46,6 +46,10 @@ config_mod.register(
         "chi_threshold": "Cauchy robustifier chi threshold (<=0 disables)",
         "min_num_correspondences": "minimum number of correspondences in this slice",
         "odom_weight": "information weight of the odometry prior slice (0 disables)",
+        "finder": "correspondence finder: projective | nn_grid | bruteforce",
+        "finder_max_distance": "max distance for NN correspondences [meters]",
+        "finder_resolution": "resolution of the nn_grid distance map [m/pixel]",
+        "finder_grid_size": "static side of the nn_grid distance map [pixels]",
     },
 )
 config_mod.register(
@@ -56,6 +60,11 @@ config_mod.register(
         "clip_voxelize_resolution": "clipper decimation grid [meters], 0 = off",
         "projection": "polar canvas used for matching/merging/clipping",
         "aligner": "scan-to-scene aligner assembly",
+        "use_fused_aligner": "run the whole alignment as one Pallas kernel",
+        "use_fused_scene_ops": "Pallas clip/merge kernels instead of XLA scatters",
+        "clipper": "scene clipper: projective | ball",
+        "ball_max_range": "SceneClipperBall2D max range [meters]",
+        "reuse_clip_canvas": "reuse the merger's canvas as the next clip (fast path)",
     },
 )
 config_mod.register(
@@ -118,6 +127,7 @@ config_mod.register(
         "global_solver": "global pose-graph solver",
         "enable_loop_closure": "toggle loop closing",
         "enable_relocalizer": "toggle relocalization",
+        "cue_extrinsics": "per-cue sensor-in-robot poses; enables multi-cue tracking",
     },
 )
 config_mod.register(PolarProjection)
