@@ -84,6 +84,31 @@ def _compose(a, b):
     )
 
 
+def to_carmen(ds: SyntheticDataset, path: str) -> None:
+    """Write the dataset as a CARMEN log (ROBOTLASER1 lines, which carry the
+    laser geometry) — the format family of the reference's AIS benchmark
+    fixtures (tests/fixtures.hpp): lets the CARMEN ingest path be
+    integration-tested without external data."""
+    cfg = ds.config
+    fov = cfg.angle_max - cfg.angle_min
+    res = fov / cfg.num_beams
+    with open(path, "w") as f:
+        f.write("# synthetic CARMEN log (tpu-laser-slam-2d)\n")
+        for t in range(len(ds.ranges)):
+            n = cfg.num_beams
+            rs = " ".join(f"{r:.4f}" for r in ds.ranges[t])
+            lp = ds.sensor_poses[t]
+            op = ds.robot_poses[t]
+            ts = 0.1 * t
+            f.write(
+                f"ROBOTLASER1 0 {cfg.angle_min:.6f} {fov:.6f} {res:.6f} "
+                f"{min(cfg.range_max, 80.0):.2f} 0.01 0 {n} {rs} 0 "
+                f"{lp[0]:.6f} {lp[1]:.6f} {lp[2]:.6f} "
+                f"{op[0]:.6f} {op[1]:.6f} {op[2]:.6f} "
+                f"0 0 0 0 0 {ts:.4f} synth {ts:.4f}\n"
+            )
+
+
 def simulate(cfg: SyntheticConfig = SyntheticConfig()) -> SyntheticDataset:
     """Generate the full dataset: GT trajectory + simulated range scans."""
     proj = projector_op.PolarProjection.make(
