@@ -128,3 +128,34 @@ def test_alignment_removes_gauge():
         s.set_pose_estimate(p, t[k])
     stats = s.compute(align=True)
     assert stats["rmse_translation"] < 1e-3
+
+
+def test_odom_subsampler():
+    msgs = []
+    x = 0.0
+    for k in range(20):
+        x += 0.05
+        msgs.append(OdometryMessage(topic="/odom", timestamp=0.1 * k,
+                                    pose=np.array([x, 0, 0], np.float32)))
+    src = sources.OdomSubsamplerSource(
+        sources.ListSource(msgs), translation_step=0.2, rotation_step=0.5
+    )
+    out = list(src)
+    # first passes, then one every 0.2 m of accumulated motion
+    assert 4 <= len(out) <= 6, len(out)
+    ds = np.diff([m.pose[0] for m in out])
+    assert np.all(ds >= 0.2 - 1e-5)
+
+
+def test_platform_source_collects_tf():
+    msgs = [
+        TransformEventsMessage(topic="/tf", timestamp=0.0, events=[
+            TransformEvent(0.0, "laser", "base", np.array([0.1, 0, 0], np.float32))
+        ]),
+        OdometryMessage(topic="/odom", timestamp=0.1),
+    ]
+    src = sources.PlatformSource(sources.ListSource(msgs))
+    out = list(src)
+    assert len(out) == 2
+    tf = src.platform.get_transform("laser", "base")
+    np.testing.assert_allclose(tf, [0.1, 0, 0], atol=1e-6)
