@@ -1,0 +1,261 @@
+"""Schur-complement partitioned Gauss-Newton for pose graphs.
+
+The BASELINE.json north-star design: partition the graph, eliminate each
+partition's INTERIOR variables locally (dense per-partition algebra — MXU
+matmuls), reduce the SEPARATOR system across partitions (a psum when the
+partition axis is sharded over a mesh), solve the small separator system, and
+back-substitute. Communication per GN iteration is separator-sized instead of
+graph-sized — the property that lets pose-graph optimization scale across a
+pod slice (SURVEY.md §2.3, §5 'distributed communication backend').
+
+Structure (all static shapes):
+  host:   partition assignment + interior/separator classification + index
+          maps (once per graph topology)
+  device: per-partition [vmapped or shard_mapped]:
+            linearize local edges -> dense H_ii [3I,3I], H_is [3I,3S],
+            contribution to H_ss/b_s
+          Schur: S = H_ss - sum_p H_si H_ii^-1 H_is   (psum over partitions)
+          solve separator (dense), back-substitute interiors per partition.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import geometry
+from .pgo import PGOConfig, PoseGraph, _edge_jac, _edge_res
+
+Array = jax.Array
+
+
+class Partitioning(NamedTuple):
+    """Static partition layout (host-built, device-consumed).
+
+    interior_idx: [P, I] global var index per interior slot (pad: var_capacity)
+    separator_idx: [S] global var index per separator slot (pad: var_capacity)
+    edge_part: [E] partition owning each edge (cross edges go to one side)
+    # per-edge local addressing:
+    ei_local: [E] local slot of endpoint i: 0..I-1 interior, I..I+S-1 separator
+    ej_local: [E] same for endpoint j
+    """
+
+    interior_idx: Array
+    separator_idx: Array
+    edge_part: Array
+    ei_local: Array
+    ej_local: Array
+
+    @property
+    def n_parts(self) -> int:
+        return self.interior_idx.shape[0]
+
+    @property
+    def interior_cap(self) -> int:
+        return self.interior_idx.shape[1]
+
+    @property
+    def separator_cap(self) -> int:
+        return self.separator_idx.shape[0]
+
+
+def partition_graph(graph: PoseGraph, n_parts: int,
+                    n_vars: int | None = None, n_edges: int | None = None
+                    ) -> Partitioning:
+    """Index-range partitioning (local maps are created in trajectory order,
+    so contiguous ranges are spatially coherent); separator = every variable
+    touched by a cross-partition edge."""
+    v_cap = graph.var_capacity
+    ei = np.asarray(graph.edge_i)
+    ej = np.asarray(graph.edge_j)
+    ev = np.asarray(graph.edge_valid)
+    vv = np.asarray(graph.var_valid)
+    nv = int(n_vars if n_vars is not None else vv.sum())
+
+    part_of = np.minimum((np.arange(v_cap) * n_parts) // max(nv, 1), n_parts - 1)
+    cross = ev & (part_of[ei] != part_of[ej])
+    is_sep = np.zeros(v_cap, bool)
+    is_sep[ei[cross]] = True
+    is_sep[ej[cross]] = True
+    # anchored/fixed variables also go to the separator (their gauge prior
+    # must be visible in the reduced system)
+    is_sep |= np.asarray(graph.var_fixed) & vv
+
+    sep_list = np.where(is_sep & vv)[0]
+    s_cap = max(8, 1 << int(np.ceil(np.log2(max(len(sep_list), 1)))))
+    interior_lists = []
+    for p in range(n_parts):
+        ids = np.where((part_of == p) & vv & ~is_sep)[0]
+        interior_lists.append(ids)
+    i_cap = max(8, 1 << int(np.ceil(np.log2(max(max(len(x) for x in interior_lists), 1)))))
+
+    interior_idx = np.full((n_parts, i_cap), v_cap, np.int32)
+    for p, ids in enumerate(interior_lists):
+        interior_idx[p, : len(ids)] = ids
+    separator_idx = np.full(s_cap, v_cap, np.int32)
+    separator_idx[: len(sep_list)] = sep_list
+
+    # local slot of every global var within each partition's [I + S] frame
+    local_slot = np.full((n_parts, v_cap + 1), -1, np.int32)
+    for p in range(n_parts):
+        local_slot[p, interior_idx[p, interior_idx[p] < v_cap]] = np.arange(
+            (interior_idx[p] < v_cap).sum()
+        )
+    for s_slot, gid in enumerate(sep_list):
+        local_slot[:, gid] = np.where(
+            local_slot[:, gid] >= 0, local_slot[:, gid], i_cap + s_slot
+        )
+        # separator slots are shared by all partitions
+        local_slot[:, gid] = i_cap + s_slot
+
+    edge_part = np.where(ev, part_of[ei], 0)
+    # cross edges: assign to the partition of endpoint i (its interior side
+    # if any; both-separator edges can go anywhere — they only touch H_ss)
+    ei_local = np.zeros(len(ei), np.int32)
+    ej_local = np.zeros(len(ej), np.int32)
+    for e in range(len(ei)):
+        if not ev[e]:
+            continue
+        p = edge_part[e]
+        li = local_slot[p, ei[e]]
+        lj = local_slot[p, ej[e]]
+        if li < 0 or lj < 0:
+            # endpoint interior to the OTHER partition: move edge there
+            p2 = part_of[ej[e]]
+            li2 = local_slot[p2, ei[e]]
+            lj2 = local_slot[p2, ej[e]]
+            if li2 >= 0 and lj2 >= 0:
+                edge_part[e] = p2
+                li, lj = li2, lj2
+            else:
+                raise ValueError(f"edge {e} endpoints not co-addressable")
+        ei_local[e] = li
+        ej_local[e] = lj
+
+    return Partitioning(
+        interior_idx=jnp.asarray(interior_idx),
+        separator_idx=jnp.asarray(separator_idx),
+        edge_part=jnp.asarray(edge_part),
+        ei_local=jnp.asarray(ei_local),
+        ej_local=jnp.asarray(ej_local),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
+                   ) -> tuple[PoseGraph, Array, Array]:
+    """GN loop with per-iteration Schur elimination. Same contract as
+    pgo.optimize. The vmap over partitions becomes a shard_map on a real
+    mesh; the psum-equivalent is the sum over the partition axis."""
+    v_cap = graph.var_capacity
+    P, I = part.n_parts, part.interior_cap
+    S = part.separator_cap
+    d_i, d_s = 3 * I, 3 * S
+
+    anchor = jnp.where(
+        graph.var_fixed | ~graph.var_valid, cfg.anchor_weight, cfg.damping
+    )
+
+    def gn_step(poses):
+        xi = poses[graph.edge_i]
+        xj = poses[graph.edge_j]
+        e = _edge_res(xi, xj, graph.edge_meas)
+        Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, graph.edge_meas)
+        omega = graph.edge_info
+        chi_e = jnp.sum(e * e * omega, axis=-1)
+        if cfg.chi_threshold > 0:
+            w = jnp.where(chi_e < cfg.chi_threshold,
+                          1.0, cfg.chi_threshold / jnp.maximum(chi_e, 1e-20))
+        else:
+            w = jnp.ones_like(chi_e)
+        w = jnp.where(graph.edge_valid, w, 0.0)
+        wo = w[:, None] * omega
+        chi = jnp.sum(jnp.where(graph.edge_valid, chi_e, 0.0))
+
+        def build_partition(p):
+            """Dense local system over [interior_p ++ separator] slots."""
+            mine = (part.edge_part == p) & graph.edge_valid
+            m = mine.astype(jnp.float32)[:, None]
+            n_loc = I + S
+            H = jnp.zeros((n_loc, 3, n_loc, 3), jnp.float32)
+            b = jnp.zeros((n_loc, 3), jnp.float32)
+            Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Ji)
+            Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo * m, Jj)
+            Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Jj)
+            bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo * m, e)
+            bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo * m, e)
+            li, lj = part.ei_local, part.ej_local
+            H = H.at[li, :, li, :].add(Hii_e)
+            H = H.at[lj, :, lj, :].add(Hjj_e)
+            H = H.at[li, :, lj, :].add(Hij_e)
+            H = H.at[lj, :, li, :].add(jnp.swapaxes(Hij_e, -1, -2))
+            b = b.at[li].add(bi_e).at[lj].add(bj_e)
+            # damping/anchoring on this partition's own slots
+            own_gids = jnp.concatenate([part.interior_idx[p], part.separator_idx])
+            own_anchor = jnp.concatenate([anchor, jnp.zeros(1)])[
+                jnp.minimum(own_gids, v_cap)
+            ]
+            # interior slots: full anchor; separator slots: split across P
+            # partitions so the summed H_ss gets it exactly once
+            scale = jnp.concatenate(
+                [jnp.ones(I), jnp.full((S,), 1.0 / P)]
+            )
+            invalid_slot = own_gids >= v_cap
+            diag_add = jnp.where(invalid_slot, cfg.anchor_weight, own_anchor * scale)
+            slots = jnp.arange(n_loc)
+            H = H.at[slots, :, slots, :].add(
+                diag_add[:, None, None] * jnp.eye(3)[None]
+            )
+            return H.reshape(3 * n_loc, 3 * n_loc), b.reshape(3 * n_loc)
+
+        Hp, bp = jax.vmap(build_partition)(jnp.arange(P))
+        H_ii = Hp[:, :d_i, :d_i]
+        H_is = Hp[:, :d_i, d_i:]
+        H_ss_p = Hp[:, d_i:, d_i:]
+        b_i = bp[:, :d_i]
+        b_s_p = bp[:, d_i:]
+
+        # interior elimination (dense per partition; MXU batched solves)
+        Hii_inv = jnp.linalg.inv(H_ii)                       # [P, dI, dI]
+        G = jnp.einsum("pij,pjk->pik", Hii_inv, H_is)        # Hii^-1 His
+        S_red = jnp.sum(H_ss_p, 0) - jnp.einsum("pji,pjk->ik", H_is, G)
+        b_red = jnp.sum(b_s_p, 0) - jnp.einsum("pji,pj->i", H_is,
+                                               jnp.einsum("pij,pj->pi", Hii_inv, b_i))
+        dx_s = jnp.linalg.solve(S_red, -b_red)               # [dS]
+        # back-substitution
+        dx_i = -jnp.einsum("pij,pj->pi", Hii_inv, b_i) - jnp.einsum(
+            "pik,k->pi", G, dx_s
+        )                                                     # [P, dI]
+
+        # scatter increments back to global variables
+        dx = jnp.zeros((v_cap + 1, 3))
+        dx = dx.at[part.interior_idx.reshape(-1)].add(
+            dx_i.reshape(P * I, 3), mode="drop"
+        )
+        dx = dx.at[part.separator_idx].add(dx_s.reshape(S, 3), mode="drop")
+        dx = dx[:v_cap]
+        movable = graph.var_valid & ~graph.var_fixed
+        dx = jnp.where(movable[:, None], dx, 0.0)
+        return geometry.compose(dx, poses), chi
+
+    def body(state):
+        it, poses, chi_prev, _ = state
+        new_poses, chi = gn_step(poses)
+        return it + 1, new_poses, chi, chi_prev
+
+    def cond(state):
+        it, _, chi, chi_prev = state
+        decayed = jnp.abs(chi_prev - chi) < cfg.epsilon * jnp.maximum(chi_prev, 1e-20)
+        return (it < cfg.max_iterations) & ~((it > 1) & decayed)
+
+    it, poses, chi, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), graph.poses, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
+    )
+    return graph._replace(poses=poses), chi, it
