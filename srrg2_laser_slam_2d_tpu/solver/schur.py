@@ -147,6 +147,136 @@ def partition_graph(graph: PoseGraph, n_parts: int,
     )
 
 
+def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
+                           mesh) -> tuple[PoseGraph, Array, Array]:
+    """Multi-chip Schur: partitions shard over the mesh's ``graph`` axis;
+    each chip eliminates its partitions' interiors locally and the reduced
+    separator system + interior increments reduce with ``psum`` over ICI —
+    per-GN-iteration communication is separator-sized, not graph-sized."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+    from ..parallel.mesh import GRAPH_AXIS
+
+    n_dev = mesh.shape[GRAPH_AXIS]
+    assert part.n_parts % n_dev == 0, (part.n_parts, n_dev)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS, None)),
+        out_specs=P_(),
+        check_vma=False,
+    )
+    def device_step(poses, my_parts, my_interior_idx):
+        Hp, bp, chi_p = _partition_systems(cfg, graph, part, poses, my_parts)
+        d_i = 3 * part.interior_cap
+        H_ii = Hp[:, :d_i, :d_i]
+        H_is = Hp[:, :d_i, d_i:]
+        H_ss_l = jnp.sum(Hp[:, d_i:, d_i:], 0)
+        b_i = bp[:, :d_i]
+        b_s_l = jnp.sum(bp[:, d_i:], 0)
+        Hii_inv = jnp.linalg.inv(H_ii)
+        G = jnp.einsum("pij,pjk->pik", Hii_inv, H_is)
+        S_l = H_ss_l - jnp.einsum("pji,pjk->ik", H_is, G)
+        b_l = b_s_l - jnp.einsum(
+            "pji,pj->i", H_is, jnp.einsum("pij,pj->pi", Hii_inv, b_i)
+        )
+        # ICI reduction of the separator system (the only cross-chip traffic)
+        S_red = jax.lax.psum(S_l, GRAPH_AXIS)
+        b_red = jax.lax.psum(b_l, GRAPH_AXIS)
+        chi = jax.lax.psum(jnp.sum(chi_p), GRAPH_AXIS)
+        dx_s = jnp.linalg.solve(S_red, -b_red)
+        dx_i = -jnp.einsum("pij,pj->pi", Hii_inv, b_i) - jnp.einsum(
+            "pik,k->pi", G, dx_s
+        )
+        v_cap = graph.var_capacity
+        dxg = jnp.zeros((v_cap + 1, 3))
+        dxg = dxg.at[my_interior_idx.reshape(-1)].add(
+            dx_i.reshape(-1, 3), mode="drop"
+        )
+        dxg = jax.lax.psum(dxg, GRAPH_AXIS)
+        dxg = dxg.at[part.separator_idx].add(dx_s.reshape(-1, 3), mode="drop")
+        return dxg[:v_cap], chi
+
+    movable = graph.var_valid & ~graph.var_fixed
+    parts_arr = jnp.arange(part.n_parts)
+
+    @jax.jit
+    def run(poses0):
+        def body(state):
+            it, poses, chi_prev, _ = state
+            dx, chi = device_step(poses, parts_arr, part.interior_idx)
+            dx = jnp.where(movable[:, None], dx, 0.0)
+            return it + 1, geometry.compose(dx, poses), chi, chi_prev
+
+        def cond(state):
+            it, _, chi, chi_prev = state
+            decayed = jnp.abs(chi_prev - chi) < cfg.epsilon * jnp.maximum(chi_prev, 1e-20)
+            return (it < cfg.max_iterations) & ~((it > 1) & decayed)
+
+        return jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), poses0, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
+        )
+
+    it, poses, chi, _ = run(graph.poses)
+    return graph._replace(poses=poses), chi, it
+
+
+def _partition_systems(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
+                       poses, part_ids):
+    """Dense local systems for a batch of partitions (vmapped)."""
+    v_cap = graph.var_capacity
+    I, S = part.interior_cap, part.separator_cap
+    anchor = jnp.where(
+        graph.var_fixed | ~graph.var_valid, cfg.anchor_weight, cfg.damping
+    )
+    xi = poses[graph.edge_i]
+    xj = poses[graph.edge_j]
+    e = _edge_res(xi, xj, graph.edge_meas)
+    Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, graph.edge_meas)
+    omega = graph.edge_info
+    chi_e = jnp.sum(e * e * omega, axis=-1)
+    if cfg.chi_threshold > 0:
+        w = jnp.where(chi_e < cfg.chi_threshold,
+                      1.0, cfg.chi_threshold / jnp.maximum(chi_e, 1e-20))
+    else:
+        w = jnp.ones_like(chi_e)
+    w = jnp.where(graph.edge_valid, w, 0.0)
+    wo = w[:, None] * omega
+
+    def build_partition(p):
+        mine = (part.edge_part == p) & graph.edge_valid
+        m = mine.astype(jnp.float32)[:, None]
+        n_loc = I + S
+        H = jnp.zeros((n_loc, 3, n_loc, 3), jnp.float32)
+        b = jnp.zeros((n_loc, 3), jnp.float32)
+        Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Ji)
+        Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo * m, Jj)
+        Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Jj)
+        bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo * m, e)
+        bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo * m, e)
+        li, lj = part.ei_local, part.ej_local
+        H = H.at[li, :, li, :].add(Hii_e)
+        H = H.at[lj, :, lj, :].add(Hjj_e)
+        H = H.at[li, :, lj, :].add(Hij_e)
+        H = H.at[lj, :, li, :].add(jnp.swapaxes(Hij_e, -1, -2))
+        b = b.at[li].add(bi_e).at[lj].add(bj_e)
+        own_gids = jnp.concatenate([part.interior_idx[p], part.separator_idx])
+        own_anchor = jnp.concatenate([anchor, jnp.zeros(1)])[
+            jnp.minimum(own_gids, v_cap)
+        ]
+        scale = jnp.concatenate([jnp.ones(I), jnp.full((S,), 1.0 / part.n_parts)])
+        invalid_slot = own_gids >= v_cap
+        diag_add = jnp.where(invalid_slot, cfg.anchor_weight, own_anchor * scale)
+        slots = jnp.arange(n_loc)
+        H = H.at[slots, :, slots, :].add(diag_add[:, None, None] * jnp.eye(3)[None])
+        chi_mine = jnp.sum(jnp.where(mine, chi_e, 0.0))
+        return H.reshape(3 * n_loc, 3 * n_loc), b.reshape(3 * n_loc), chi_mine
+
+    return jax.vmap(build_partition)(part_ids)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
                    ) -> tuple[PoseGraph, Array, Array]:

@@ -44,3 +44,18 @@ def test_partitioning_structure():
     assert set(seen) == set(range(v))
     # separator is a small fraction of the grid
     assert (sep < v_cap).sum() < v * 0.6
+
+
+def test_schur_sharded_matches_vmapped():
+    from srrg2_laser_slam_2d_tpu.parallel.mesh import make_mesh
+
+    graph, gt, v = grid_graph(side=12)
+    cfg = pgo.PGOConfig(max_iterations=5)
+    part = schur.partition_graph(graph, n_parts=8, n_vars=v)
+    ref, chi_ref, _ = schur.optimize_schur(cfg, graph, part)
+    mesh = make_mesh(8)
+    out, chi, _ = schur.optimize_schur_sharded(cfg, graph, part, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.poses[:v]), np.asarray(ref.poses[:v]), atol=1e-3
+    )
+    assert abs(float(chi) - float(chi_ref)) < 1e-2 * max(float(chi_ref), 1.0)
