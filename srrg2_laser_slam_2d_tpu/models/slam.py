@@ -46,6 +46,11 @@ class GraphSLAMConfig:
     validator: lc.ValidatorConfig = field(default_factory=lc.ValidatorConfig)
     relocalizer: lc.RelocalizerConfig = field(default_factory=lc.RelocalizerConfig)
     global_solver: pgo.PGOConfig = field(default_factory=pgo.PGOConfig)
+    # linear-solver strategy for the global solve: "dense" (small graphs,
+    # CHOLMOD-role), "cg" (matrix-free PCG, large graphs / CSparse-role),
+    # "schur" (partitioned elimination, the distributed design)
+    global_solver_kind: str = "dense"
+    schur_partitions: int = 8
     enable_loop_closure: bool = True
     enable_relocalizer: bool = True
     # MULTI config: per-cue sensor extrinsics ((x, y, theta), ...). When set,
@@ -189,7 +194,30 @@ class GraphSLAM2D:
 
     def _global_solve(self) -> None:
         trimmed, _, _ = pgo.trim(self.graph, self.n_maps, self.n_edges)
-        solved, chi, iters = pgo.optimize(self.cfg.global_solver, trimmed)
+        kind = self.cfg.global_solver_kind
+        if kind == "cg":
+            from ..solver import cg as cg_mod
+
+            solved, chi, iters = cg_mod.optimize_cg(
+                cg_mod.CGConfig(
+                    gn_iterations=self.cfg.global_solver.max_iterations,
+                    epsilon=self.cfg.global_solver.epsilon,
+                    chi_threshold=self.cfg.global_solver.chi_threshold,
+                ),
+                trimmed,
+            )
+        elif kind == "schur":
+            from ..solver import schur as schur_mod
+
+            n_parts = min(self.cfg.schur_partitions, max(self.n_maps // 2, 1))
+            part = schur_mod.partition_graph(
+                trimmed, n_parts, n_vars=self.n_maps, n_edges=self.n_edges
+            )
+            solved, chi, iters = schur_mod.optimize_schur(
+                self.cfg.global_solver, trimmed, part
+            )
+        else:
+            solved, chi, iters = pgo.optimize(self.cfg.global_solver, trimmed)
         self.graph = pgo.untrim_poses(self.graph, solved)
 
     def _try_relocalize(self) -> None:

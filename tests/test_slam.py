@@ -129,3 +129,22 @@ def test_relocalizer_jumps_to_existing_map():
         slam.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
     # after completing the loop the robot should re-attach to an earlier map
     assert slam.relocalizations >= 1
+
+
+def test_loop_closure_with_alternative_global_solvers():
+    # same circular drive as test_loop_closure_on_circle but the global solve
+    # routed through the CG and Schur backends
+    for kind in ("cg", "schur"):
+        ds = synthetic.simulate(
+            synthetic.SyntheticConfig(
+                steps=40, num_beams=512, max_variance=0.02,
+                drift=(0.15, 0.0, 2 * np.pi / 40), seed=5,
+            )
+        )
+        slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=True)
+        object.__setattr__(slam.cfg, "global_solver_kind", kind)
+        for k in range(len(ds.ranges)):
+            slam.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+        assert slam.num_closures >= 1, kind
+        err = np.abs(slam.robot_in_world() - ds.robot_poses[-1])
+        assert np.linalg.norm(err[:2]) < 0.25, (kind, err)
