@@ -50,9 +50,10 @@ def run_tpu_bench() -> float:
         scene_capacity=SCENE_CAP,
         projection=match_proj,
         aligner=icp.AlignerConfig(max_iterations=10, point_distance=0.5, normal_cos=0.8),
-        # the fused Pallas aligner halves per-frame latency on TPU; fall back
-        # to the XLA path automatically on CPU (interpret mode is test-only)
+        # fastest measured configuration (BENCH_NOTES.md): fused Pallas
+        # aligner + merge-canvas reuse; XLA path on CPU (interpret is test-only)
         use_fused_aligner=jax.default_backend() != "cpu",
+        reuse_clip_canvas=True,
     )
 
     ranges = jnp.asarray(ds.ranges)

@@ -209,17 +209,25 @@ def track_step_impl(
     if cfg.use_fused_scene_ops:
         from ..ops import pallas_scene
 
-        assert not cfg.reuse_clip_canvas, (
-            "reuse_clip_canvas requires the XLA merge path (return_canvas)"
-        )
-        scene = pallas_scene.merge_projective_pallas(
+        out = pallas_scene.merge_projective_pallas(
             cfg.projection,
             state.scene,
             measurement,
             measurement_in_scene=geometry.compose(X_new, S),
             merge_threshold=cfg.merge_threshold,
             interpret=jax.default_backend() == "cpu",
+            return_canvas=cfg.reuse_clip_canvas,
         )
+        if cfg.reuse_clip_canvas:
+            scene, cache_padded = out
+            # pallas canvases are padded to a lane multiple; trim to cols
+            clip_cache = Cloud(
+                xy=cache_padded.xy[: cfg.projection.cols],
+                normal=cache_padded.normal[: cfg.projection.cols],
+                valid=cache_padded.valid[: cfg.projection.cols],
+            )
+        else:
+            scene = out
     elif cfg.reuse_clip_canvas:
         scene, clip_cache = merge_op.merge_projective(
             cfg.projection,

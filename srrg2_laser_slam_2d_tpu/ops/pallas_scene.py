@@ -172,7 +172,10 @@ def canvas_pallas(
     return out, rows[0]
 
 
-@functools.partial(jax.jit, static_argnames=("proj", "merge_threshold", "chunk", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "merge_threshold", "chunk", "interpret", "return_canvas"),
+)
 def merge_projective_pallas(
     proj: PolarProjection,
     scene: Cloud,
@@ -181,7 +184,8 @@ def merge_projective_pallas(
     merge_threshold: float = 0.2,
     chunk: int = 1024,
     interpret: bool = False,
-) -> Cloud:
+    return_canvas: bool = False,
+):
     """Hybrid fused MergerProjective2D: both z-buffers run as Pallas canvas
     kernels (the HBM-heavy part), the per-beam decisions and the winner-row
     updates/appends run in XLA — winner rows are unique per beam (a point
@@ -241,7 +245,26 @@ def merge_projective_pallas(
     )[:n]
     new_count = jnp.minimum(count + jnp.sum(do_append.astype(jnp.int32)), n)
     valid = jnp.arange(n) < new_count
-    return Cloud(xy=xy, normal=nm, valid=valid)
+    new_scene = Cloud(xy=xy, normal=nm, valid=valid)
+    if not return_canvas:
+        return new_scene
+    # post-merge visible cell per beam in the CAMERA frame (ops/merge.py
+    # return_canvas semantics): merged -> average, replaced/appended -> meas,
+    # untouched -> scene winner
+    s_loc = jnp.stack([s_canvas[1], s_canvas[2]], 1)
+    s_loc_n = jnp.stack([s_canvas[3], s_canvas[4]], 1)
+    m_loc = jnp.stack([m_canvas[1], m_canvas[2]], 1)
+    m_loc_n = jnp.stack([m_canvas[3], m_canvas[4]], 1)
+    avg_l = 0.5 * (s_loc + m_loc)
+    avg_ln = 0.5 * (s_loc_n + m_loc_n)
+    nl = jnp.sqrt(jnp.sum(avg_ln * avg_ln, axis=1, keepdims=True))
+    avg_ln = avg_ln / jnp.maximum(nl, 1e-12)
+    cell_p = jnp.where(do_merge[:, None], avg_l, jnp.where(m_has[:, None], m_loc, s_loc))
+    cell_n = jnp.where(
+        do_merge[:, None], avg_ln, jnp.where(m_has[:, None], m_loc_n, s_loc_n)
+    )
+    canvas_cloud = Cloud(xy=cell_p, normal=cell_n, valid=m_has | s_has)
+    return new_scene, canvas_cloud
 
 
 @functools.partial(jax.jit, static_argnames=("proj", "chunk", "interpret"))

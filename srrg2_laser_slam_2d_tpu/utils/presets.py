@@ -125,6 +125,8 @@ config_mod.register(
         "validator": "closure validator",
         "relocalizer": "relocalizer",
         "global_solver": "global pose-graph solver",
+        "global_solver_kind": "global linear solver: dense | cg | schur",
+        "schur_partitions": "partition count of the Schur solver",
         "enable_loop_closure": "toggle loop closing",
         "enable_relocalizer": "toggle relocalization",
         "cue_extrinsics": "per-cue sensor-in-robot poses; enables multi-cue tracking",
