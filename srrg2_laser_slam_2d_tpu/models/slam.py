@@ -151,6 +151,11 @@ class GraphSLAM2D:
 
     def _split(self, measurement: Cloud, odom) -> None:
         cfg = self.cfg
+        # MultiRelocalizer2D's role is to AVOID creating new nodes
+        # (config :340-381 'relocalizer to avoid creation of new nodes'):
+        # before splitting, try to re-attach to an existing nearby local map
+        if cfg.enable_relocalizer and self._relocalize_at_split():
+            return
         prev = self.current_map
         ril = np.asarray(self.tracker.robot_in_local_map)
         new_pose_w = np.asarray(
@@ -182,12 +187,20 @@ class GraphSLAM2D:
         accepted = self.validator.vote(self.poses_np)
         if not accepted:
             return
+        added = 0
         for c in accepted:
+            # one closure edge per map pair: repeated passes over the same
+            # area re-detect the same closure every split — don't duplicate
+            if c.candidate_map in self.adjacency[c.query_map]:
+                continue
             # closure edge: query map pose expressed in candidate map frame
             self._add_edge(
                 c.candidate_map, c.query_map, c.estimate, cfg.closure_edge_info
             )
             self.num_closures += 1
+            added += 1
+        if not added:
+            return
         self._global_solve()
         if cfg.enable_relocalizer:
             self._try_relocalize()
@@ -219,6 +232,73 @@ class GraphSLAM2D:
         else:
             solved, chi, iters = pgo.optimize(self.cfg.global_solver, trimmed)
         self.graph = pgo.untrim_poses(self.graph, solved)
+
+    def _relocalize_at_split(self) -> bool:
+        """Try to continue tracking on an existing map instead of splitting:
+        nearest old map within the jump radius, verified by an alignment that
+        must pass the relocalizer gates (config :577-596)."""
+        import jax
+
+        rcfg = self.cfg.relocalizer
+        poses = self.poses_np
+        cur_w = self.robot_in_world()
+        radius = min(rcfg.max_translation, self.cfg.local_map_distance)
+        cands = []
+        for m in range(self.n_maps):
+            if m == self.current_map or self.scenes[m] is None:
+                continue
+            d = float(np.linalg.norm(poses[m, :2] - cur_w[:2]))
+            if d <= radius:
+                cands.append((d, m))
+        if not cands:
+            return False
+        cands.sort()
+        best = cands[0][1]
+        # verify: align the current tracker scene against the candidate map
+        rel0 = np.asarray(
+            geometry.relative(jnp.asarray(poses[best]), jnp.asarray(cur_w))
+        )
+        # pose of the CURRENT LOCAL MAP frame in the candidate frame: the
+        # tracker scene lives in the current map frame
+        lm_in_best = np.asarray(
+            geometry.relative(
+                jnp.asarray(poses[best]), jnp.asarray(poses[self.current_map])
+            )
+        )
+        fixed_batch = jax.tree.map(
+            lambda x: x[None], self.scenes[best]
+        )
+        res = lc._batch_align(
+            self.detector.cfg.aligner,
+            self.detector.proj,
+            fixed_batch,
+            self.tracker.state.scene,
+            jnp.asarray(lm_in_best[None]),
+        )
+        n_inl = int(res.num_inliers[0])
+        n_cor = max(int(res.num_correspondences[0]), 1)
+        chi_inl = float(res.chi_inliers[0])
+        if (
+            n_inl < rcfg.relocalize_min_inliers
+            or n_inl / n_cor < rcfg.relocalize_min_inliers_ratio
+            or chi_inl > rcfg.relocalize_max_chi_inliers
+        ):
+            return False
+        # jump: express the robot in the candidate map via the verified
+        # alignment (current-map frame -> candidate frame)
+        lm_in_best_ref = np.asarray(res.estimate[0])
+        ril = np.asarray(
+            geometry.compose(
+                jnp.asarray(lm_in_best_ref), self.tracker.robot_in_local_map
+            )
+        )
+        if float(np.linalg.norm(ril[:2])) >= self.cfg.local_map_distance:
+            return False  # would re-split immediately; not a useful jump
+        self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
+        self.current_map = best
+        self.relocalizations += 1
+        del rel0
+        return True
 
     def _try_relocalize(self) -> None:
         """MultiRelocalizer2D: if an accepted closure landed the current map
