@@ -72,8 +72,12 @@ class TrackerConfig:
     # frame's clip camera, so its post-merge canvas (ops/merge.py
     # return_canvas) replaces the clipper's full scene projection. Saves one
     # scene-sized z-buffer per frame; sub-beam-resolution deviations only
-    # (see merge_projective docstring). Incompatible with use_fused_scene_ops.
+    # (see merge_projective docstring).
     reuse_clip_canvas: bool = False
+    # lean mode (implies reuse_clip_canvas, XLA merge path): the merge's scene
+    # side ALSO comes from the cached canvas (ops/merge.merge_projective_lean)
+    # — zero full-scene projections per frame, every op beam-sized
+    lean_scene_ops: bool = False
 
 
 class TrackerState(NamedTuple):
@@ -85,6 +89,7 @@ class TrackerState(NamedTuple):
     has_odom: Array            # [] bool
     sensor_in_robot: Array     # [3] laser extrinsic (from the TF tree)
     clip_cache: Cloud          # [cols] post-merge beam canvas (sensor frame)
+    clip_cache_rows: Array     # [cols] scene row behind each canvas cell
 
 
 class TrackStats(NamedTuple):
@@ -105,6 +110,7 @@ def init_state(cfg: TrackerConfig, sensor_in_robot=None) -> TrackerState:
         has_odom=jnp.asarray(False),
         sensor_in_robot=jnp.asarray(sensor_in_robot, jnp.float32),
         clip_cache=cloud_op.empty(cfg.projection.cols),
+        clip_cache_rows=jnp.full((cfg.projection.cols,), -1, jnp.int32),
     )
 
 
@@ -206,7 +212,19 @@ def track_step_impl(
     )
 
     clip_cache = state.clip_cache
-    if cfg.use_fused_scene_ops:
+    clip_cache_rows = state.clip_cache_rows
+    if cfg.lean_scene_ops and use_clip_cache:
+        scene, clip_cache, clip_cache_rows = merge_op.merge_projective_lean(
+            cfg.projection,
+            state.scene,
+            state.clip_cache,
+            state.clip_cache_rows,
+            measurement,
+            old_sensor_in_new=geometry.compose(res.estimate, S),
+            measurement_in_scene=geometry.compose(X_new, S),
+            merge_threshold=cfg.merge_threshold,
+        )
+    elif cfg.use_fused_scene_ops:
         from ..ops import pallas_scene
 
         out = pallas_scene.merge_projective_pallas(
@@ -229,7 +247,7 @@ def track_step_impl(
         else:
             scene = out
     elif cfg.reuse_clip_canvas:
-        scene, clip_cache = merge_op.merge_projective(
+        scene, clip_cache, clip_cache_rows = merge_op.merge_projective(
             cfg.projection,
             state.scene,
             measurement,
@@ -252,6 +270,7 @@ def track_step_impl(
         last_odom=jnp.where(odom_valid, odom, state.last_odom),
         has_odom=state.has_odom | odom_valid,
         clip_cache=clip_cache,
+        clip_cache_rows=clip_cache_rows,
     )
     stats = TrackStats(
         estimate=res.estimate,

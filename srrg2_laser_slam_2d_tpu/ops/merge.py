@@ -115,6 +115,102 @@ def merge_correspondence(
     return Cloud(xy=xy, normal=nm, valid=valid)
 
 
+def merge_projective_lean(
+    proj: PolarProjection,
+    scene: Cloud,
+    cache_cells: Cloud,
+    cache_rows: Array,
+    measurement: Cloud,
+    old_sensor_in_new: Array,
+    measurement_in_scene: Array,
+    merge_threshold: float = 0.2,
+):
+    """Beam-window merge: the scene side comes from the previous frame's
+    post-merge canvas (``cache_cells`` in the OLD sensor frame with their
+    scene ``cache_rows``) re-projected through the measured sensor motion —
+    NO full-scene projection at all, every op is beam-sized.
+
+    Semantics deviation vs merge_projective: scene points that became visible
+    only from the new pose are not on the cached canvas, so their beams look
+    empty and the measurement appends instead of merging/replacing — a
+    sub-beam-rate effect bounded by the sensor motion between frames
+    (serving fast path; parity runs use merge_projective).
+
+    Returns (new_scene, new_cache_cells (NEW sensor frame), new_cache_rows).
+    """
+    cap = scene.capacity
+    moved = Cloud(
+        xy=geometry.transform_points(old_sensor_in_new, cache_cells.xy),
+        normal=geometry.rotate_vectors(old_sensor_in_new, cache_cells.normal),
+        valid=cache_cells.valid,
+    )
+    scene_canvas = projector_op.project_local(proj, moved)
+    meas_canvas = projector_op.project_local(proj, measurement)
+
+    m_ok = meas_canvas.valid & (meas_canvas.depth <= 0.9 * proj.range_max)
+    s_ok = scene_canvas.valid
+    m_idx = jnp.maximum(meas_canvas.idx, 0)
+    w_idx = jnp.maximum(scene_canvas.idx, 0)       # winner among cached cells
+    s_row = cache_rows[w_idx]                      # scene row of the winner
+    dr = meas_canvas.depth - scene_canvas.depth
+
+    both = m_ok & s_ok
+    do_merge = both & (jnp.abs(dr) < merge_threshold)
+    do_replace = both & ~do_merge & (dr > 0)
+    do_append = (m_ok & ~s_ok) | (both & ~do_merge & ~do_replace)
+    modify = do_merge | do_replace
+
+    # values in the NEW SENSOR frame (measurement's own frame)
+    mp_s = measurement.xy[m_idx]
+    mn_s = measurement.normal[m_idx]
+    sp_s = moved.xy[w_idx]
+    sn_s = moved.normal[w_idx]
+    avg_p = 0.5 * (sp_s + mp_s)
+    avg_n = 0.5 * (sn_s + mn_s)
+    nrm = jnp.linalg.norm(avg_n, axis=-1, keepdims=True)
+    avg_n = avg_n / jnp.maximum(nrm, 1e-12)
+    upd_p_s = jnp.where(do_merge[:, None], avg_p, mp_s)
+    upd_n_s = jnp.where(do_merge[:, None], avg_n, mn_s)
+
+    # scene-frame scatter (winner rows unique per beam: a scene point wins
+    # at most one beam of the cached canvas)
+    upd_p = geometry.transform_points(measurement_in_scene, upd_p_s)
+    upd_n = geometry.rotate_vectors(measurement_in_scene, upd_n_s)
+    tgt = jnp.where(modify & (s_row >= 0), s_row, cap)
+    xy = jnp.concatenate([scene.xy, jnp.zeros((1, 2))]).at[tgt].set(
+        upd_p, unique_indices=True, mode="drop"
+    )[:cap]
+    nm = jnp.concatenate([scene.normal, jnp.zeros((1, 2))]).at[tgt].set(
+        upd_n, unique_indices=True, mode="drop"
+    )[:cap]
+
+    count = jnp.sum(scene.valid.astype(jnp.int32))
+    slot = count + jnp.cumsum(do_append.astype(jnp.int32)) - 1
+    dest = jnp.where(do_append & (slot < cap), slot, cap)
+    app_p = geometry.transform_points(measurement_in_scene, mp_s)
+    app_n = geometry.rotate_vectors(measurement_in_scene, mn_s)
+    xy = jnp.concatenate([xy, jnp.zeros((1, 2))]).at[dest].set(
+        app_p, unique_indices=True, mode="drop"
+    )[:cap]
+    nm = jnp.concatenate([nm, jnp.zeros((1, 2))]).at[dest].set(
+        app_n, unique_indices=True, mode="drop"
+    )[:cap]
+    new_count = jnp.minimum(count + jnp.sum(do_append.astype(jnp.int32)), cap)
+    valid = jnp.arange(cap) < new_count
+    new_scene = Cloud(xy=xy, normal=nm, valid=valid)
+
+    # next cache: post-merge cells in the NEW sensor frame + their scene rows
+    cell_p = jnp.where(m_ok[:, None], upd_p_s, sp_s)
+    cell_n = jnp.where(m_ok[:, None], upd_n_s, sn_s)
+    cell_valid = m_ok | s_ok
+    cell_rows = jnp.where(
+        do_append, jnp.where(slot < cap, slot, -1),
+        jnp.where(modify, s_row, jnp.where(s_ok, s_row, -1)),
+    ).astype(jnp.int32)
+    new_cells = Cloud(xy=cell_p, normal=cell_n, valid=cell_valid & (cell_rows >= 0))
+    return new_scene, new_cells, cell_rows
+
+
 def merge_projective(
     proj: PolarProjection,
     scene: Cloud,
@@ -212,4 +308,13 @@ def merge_projective(
     )
     cell_valid = m_ok | s_ok
     canvas_cloud = Cloud(xy=cell_p, normal=cell_n, valid=cell_valid)
-    return new_scene, canvas_cloud
+    # scene row behind each cell (for merge_projective_lean chaining):
+    # merged/replaced -> the winner row, appended -> its tail slot,
+    # scene-only -> the canvas winner row
+    cell_rows = jnp.where(
+        do_append,
+        jnp.where(slot < cap, slot, -1),
+        jnp.where(m_ok | s_ok, s_idx, -1),
+    ).astype(jnp.int32)
+    cell_rows = jnp.where(cell_valid, cell_rows, -1)
+    return new_scene, canvas_cloud, cell_rows
