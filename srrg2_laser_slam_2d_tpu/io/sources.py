@@ -13,7 +13,6 @@ pipeline called out in SURVEY.md §5 (distributed backend notes).
 from __future__ import annotations
 
 import heapq
-import json
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -86,7 +85,6 @@ class SortedSource(MessageSource):
 
     def get_message(self):
         while not self._exhausted:
-            newest = self._heap[0][0] if self._heap else None
             m = self.source.get_message()
             if m is None:
                 self._exhausted = True
@@ -94,9 +92,8 @@ class SortedSource(MessageSource):
             heapq.heappush(self._heap, (m.timestamp, self._counter, m))
             self._counter += 1
             # emit once the lag window is covered
-            if self._heap and m.timestamp - self._heap[0][0] > self.time_interval:
+            if m.timestamp - self._heap[0][0] > self.time_interval:
                 return heapq.heappop(self._heap)[2]
-            del newest
         if self._heap:
             return heapq.heappop(self._heap)[2]
         return None

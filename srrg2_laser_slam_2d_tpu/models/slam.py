@@ -254,10 +254,7 @@ class GraphSLAM2D:
             return False
         cands.sort()
         best = cands[0][1]
-        # verify: align the current tracker scene against the candidate map
-        rel0 = np.asarray(
-            geometry.relative(jnp.asarray(poses[best]), jnp.asarray(cur_w))
-        )
+        # verify: align the current tracker scene against the candidate map.
         # pose of the CURRENT LOCAL MAP frame in the candidate frame: the
         # tracker scene lives in the current map frame
         lm_in_best = np.asarray(
@@ -297,7 +294,6 @@ class GraphSLAM2D:
         self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
         self.current_map = best
         self.relocalizations += 1
-        del rel0
         return True
 
     def _try_relocalize(self) -> None:

@@ -90,7 +90,6 @@ def test_cauchy_robustifier_downweights_outliers():
 
 
 def test_odom_prior_pulls_to_prior():
-    cfg = icp.AlignerConfig()
     prior = jnp.array([0.3, -0.1, 0.2])
     # no correspondences at all: pure prior GN step from identity
     H, b, chi = icp.odom_prior_linearize(jnp.zeros(3), prior, 1.0)
@@ -98,7 +97,7 @@ def test_odom_prior_pulls_to_prior():
     est = np.asarray(g.compose(jnp.asarray(dx, jnp.float32), jnp.zeros(3)))
     # one GN step of this mildly nonlinear problem lands close to the prior
     np.testing.assert_allclose(est, np.asarray(prior), atol=0.05)
-    del cfg, chi
+    del chi
 
 
 _DATASET = {}
