@@ -61,6 +61,11 @@ class TrackerConfig:
     # (ops/pallas_projective_align.py) instead of the XLA while_loop — same
     # correspondence/residual model, ~3x lower per-frame latency on TPU
     use_fused_aligner: bool = False
+    # banded variant (ops/pallas_banded_align.py): exploits the beam-indexed
+    # clipped cloud to replace the per-iteration dense [M, B] compare with
+    # block-local windows. Requires the projective clipper without clip
+    # voxelization (those keep the moving cloud beam-indexed).
+    banded_aligner: bool = False
     # Pallas clip/merge kernels (ops/pallas_scene.py): chunked VMEM z-buffers
     # with matmul write-back instead of XLA scatters
     use_fused_scene_ops: bool = False
@@ -170,10 +175,22 @@ def track_step_impl(
         )
 
     if cfg.use_fused_aligner:
-        from ..ops import pallas_projective_align as ppa
+        if cfg.banded_aligner:
+            if cfg.clipper != "projective" or cfg.clip_voxelize_resolution > 0:
+                raise ValueError(
+                    "banded_aligner needs a beam-indexed moving cloud "
+                    "(projective clipper, no clip voxelization)"
+                )
+            from ..ops.pallas_banded_align import (
+                fused_projective_align_banded as align_fn,
+            )
+        else:
+            from ..ops.pallas_projective_align import (
+                fused_projective_align as align_fn,
+            )
 
         a = cfg.aligner
-        fres = ppa.fused_projective_align(
+        fres = align_fn(
             cfg.projection,
             measurement.xy, measurement.normal, measurement.valid,
             clipped.xy, clipped.normal, clipped.valid,
