@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_BEAMS = 721
-FRAMES = 32
+FRAMES = 256
 SCENE_CAP = 4096
 
 
@@ -33,55 +33,80 @@ def run_tpu_bench() -> float:
     import jax.numpy as jnp
 
     from srrg2_laser_slam_2d_tpu.bench import pipeline, synthetic
-    from srrg2_laser_slam_2d_tpu.models import tracker as tracker_mod
     from srrg2_laser_slam_2d_tpu.models.preprocessor import PreprocessorConfig
-    from srrg2_laser_slam_2d_tpu.ops import icp
     from srrg2_laser_slam_2d_tpu.ops.projector import PolarProjection
 
+    on_cpu = jax.default_backend() == "cpu"
+    frames = 32 if on_cpu else FRAMES
     ds = synthetic.simulate(
-        synthetic.SyntheticConfig(steps=FRAMES - 1, num_beams=NUM_BEAMS)
+        synthetic.SyntheticConfig(steps=frames - 1, num_beams=NUM_BEAMS)
     )
     scan_proj = ds.projection
     pcfg = PreprocessorConfig(voxelize_resolution=0.02, normal_window=8)
     match_proj = PolarProjection.make(
         cols=NUM_BEAMS, angle_min=-np.pi, angle_max=np.pi, range_min=0.3, range_max=20.0
     )
-    tcfg = tracker_mod.TrackerConfig(
-        scene_capacity=SCENE_CAP,
-        projection=match_proj,
-        aligner=icp.AlignerConfig(max_iterations=10, point_distance=0.5, normal_cos=0.8),
-        # fastest measured configuration (BENCH_NOTES.md): fused Pallas
-        # aligner + merge-canvas reuse; XLA path on CPU (interpret is test-only)
-        use_fused_aligner=jax.default_backend() != "cpu",
-        reuse_clip_canvas=True,
-    )
-
     ranges = jnp.asarray(ds.ranges)
     meas_stack = pipeline.preprocess_batch(scan_proj, pcfg, ranges)
     odoms = jnp.asarray(ds.robot_poses)
-    odom_valid = jnp.ones(len(ds.ranges), bool)
 
-    state0 = tracker_mod.init_state(
-        tcfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
-    )
-    state0 = tracker_mod.populate(
-        tcfg, state0, jax.tree.map(lambda x: x[0], meas_stack)
-    )
+    if on_cpu:
+        # XLA path (the Pallas interpreter is test-only, far too slow to bench)
+        from srrg2_laser_slam_2d_tpu.models import tracker as tracker_mod
+        from srrg2_laser_slam_2d_tpu.ops import icp
 
-    # warmup/compile
-    final, traces = pipeline.track_sequence(tcfg, state0, meas_stack, odoms, odom_valid)
-    final.robot_in_local_map.block_until_ready()
-
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        final, traces = pipeline.track_sequence(
-            tcfg, state0, meas_stack, odoms, odom_valid
+        tcfg = tracker_mod.TrackerConfig(
+            scene_capacity=SCENE_CAP,
+            projection=match_proj,
+            aligner=icp.AlignerConfig(
+                max_iterations=10, point_distance=0.5, normal_cos=0.8
+            ),
+            reuse_clip_canvas=True,
         )
-    final.robot_in_local_map.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    frames = len(ds.ranges)
-    return frames / dt
+        odom_valid = jnp.ones(frames, bool)
+        state0 = tracker_mod.init_state(
+            tcfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
+        )
+        state0 = tracker_mod.populate(
+            tcfg, state0, jax.tree.map(lambda x: x[0], meas_stack)
+        )
+
+        def run_once():
+            final, traces = pipeline.track_sequence(
+                tcfg, state0, meas_stack, odoms, odom_valid
+            )
+            return final.robot_in_local_map
+    else:
+        # fused frame kernel: the whole sequence as ONE grid-iterated Pallas
+        # program (clip-from-cache + banded align + beam-window merge per
+        # frame), deferred scene materialization included in the timing
+        from srrg2_laser_slam_2d_tpu.models import fast_tracker as ft
+        from srrg2_laser_slam_2d_tpu.ops.pallas_frame import FrameSpec
+
+        spec = FrameSpec(
+            scene_capacity=SCENE_CAP, projection=match_proj,
+            iterations=10, odom_weight=1.0,
+        )
+        state0 = ft.seed(
+            spec, jax.tree.map(lambda x: x[0], meas_stack),
+            np.array(ds.config.sensor_in_robot, np.float32), odom=odoms[0],
+        )
+        measF = ft.pack_measurement_batch(
+            jax.tree.map(lambda x: x[1:], meas_stack), odoms[1:]
+        )
+
+        def run_once():
+            final, stats = ft.track_sequence_fast(spec, state0, measF)
+            return final.pose
+
+    run_once().block_until_ready()  # warmup/compile
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once().block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return frames / best
 
 
 def cpp_baseline() -> float | None:

@@ -178,6 +178,38 @@ def main() -> None:
         dt = _timeit(lambda: lean_scan(scene, cache, canvas_rows, meas0), args.reps)
         print(f"{'lean merge alone (xla)':42s} {dt/32*1e3:7.3f} ms/call")
 
+        # fused frame kernel (ops/pallas_frame.py): 1 kernel/frame, deferred scene
+        from ..models import fast_tracker as ft
+        from ..ops import pallas_frame
+        from ..ops.pallas_frame import FrameSpec
+
+        spec = FrameSpec(scene_capacity=args.cap, projection=match_proj,
+                         iterations=10, odom_weight=1.0)
+        fstate = ft.seed(
+            spec, jax.tree.map(lambda x: x[0], meas_stack),
+            np.array(ds.config.sensor_in_robot, np.float32),
+            odom=odoms[0],
+        )
+        measF = ft.pack_measurement_batch(
+            jax.tree.map(lambda x: x[1:], meas_stack), odoms[1:]
+        )
+
+        def go_fast():
+            st, stats = ft.track_sequence_fast(spec, fstate, measF)
+            return st.pose
+
+        dt = _timeit(go_fast, args.reps)
+        nf = measF.shape[0]
+        print(f"{'fused frame kernel (full step)':42s} {dt/nf*1e3:7.3f} ms/frame   {nf/dt:8.0f} scans/s")
+
+        dt = _timeit(
+            lambda: pallas_frame.track_frames_grid(
+                spec, fstate.cacheT, fstate.pose, measF
+            )[1],
+            args.reps,
+        )
+        print(f"{'fused frame kernel (grid, no scene)':42s} {dt/nf*1e3:7.3f} ms/frame   {nf/dt:8.0f} scans/s")
+
         # scan floor: trivial per-frame op on the same state pytree
         @jax.jit
         def noop_scan(scene0):

@@ -122,8 +122,9 @@ class SlamRunner:
             canvas.push_matrix()
             canvas.mult_matrix(poses[m])
             canvas.put_reference_system(0.3)
-            if slam.scenes[m] is not None:
-                canvas.put_cloud(slam.scenes[m], color=colors[m % len(colors)])
+            scene = slam.scene_of(m)
+            if scene is not None:
+                canvas.put_cloud(scene, color=colors[m % len(colors)])
             canvas.pop_matrix()
         if self.trajectory:
             canvas.put_trajectory(np.stack([p for _, p, _ in self.trajectory]))

@@ -58,6 +58,10 @@ class GraphSLAMConfig:
     # measurements [C, N, ...] (configurations/..._MULTI.json adds the second
     # laser slice; here it is this one field)
     cue_extrinsics: tuple | None = None
+    # run tracking through the fused frame kernel (models/fast_tracker.py:
+    # one Pallas program per frame, lazy scene materialization at SLAM
+    # events). Single-cue only; trajectory-equivalent to the lean path.
+    use_fast_tracker: bool = False
 
 
 class GraphSLAM2D:
@@ -69,6 +73,25 @@ class GraphSLAM2D:
         if cfg.cue_extrinsics is not None:
             self.tracker = tracker_mod.MultiCueTracker(
                 cfg.tracker, np.asarray(cfg.cue_extrinsics, np.float32)
+            )
+        elif cfg.use_fast_tracker:
+            from ..ops.pallas_frame import FrameSpec
+            from . import fast_tracker as fast_mod
+
+            t = cfg.tracker
+            self.tracker = fast_mod.FastTracker(
+                FrameSpec(
+                    projection=t.projection,
+                    scene_capacity=t.scene_capacity,
+                    iterations=t.aligner.max_iterations,
+                    point_distance=t.aligner.point_distance,
+                    normal_cos=t.aligner.normal_cos,
+                    chi_threshold=t.aligner.chi_threshold,
+                    min_inliers=t.aligner.min_num_inliers,
+                    odom_weight=t.aligner.odom_weight,
+                    merge_threshold=t.merge_threshold,
+                ),
+                sensor_in_robot,
             )
         else:
             self.tracker = tracker_mod.LaserTracker(cfg.tracker, sensor_in_robot)
@@ -131,18 +154,24 @@ class GraphSLAM2D:
     def num_factors(self) -> int:
         return self.n_edges
 
+    def scene_of(self, m: int) -> Cloud | None:
+        """Scene of local map ``m`` — the live tracker scene for the current
+        map (scenes of non-current maps are captured at the event that made
+        them non-current)."""
+        if m == self.current_map:
+            return self.tracker.capture_scene()
+        return self.scenes[m]
+
     # ---- main entry --------------------------------------------------------
     def process(self, measurement: Cloud, odom=None) -> None:
         """One message pack: laser measurement (sensor frame) + optional odometry."""
         if self.current_map < 0:
             self.current_map = self._add_variable(np.zeros(3, np.float32), fixed=True)
-            self.scenes.append(None)  # filled by tracker populate
+            self.scenes.append(None)  # captured lazily (current map = tracker)
             self.tracker.compute(measurement, odom)
-            self.scenes[self.current_map] = self.tracker.state.scene
             return
 
         self.tracker.compute(measurement, odom)
-        self.scenes[self.current_map] = self.tracker.state.scene
 
         # splitting criterion: new local map after local_map_distance meters
         ril = np.asarray(self.tracker.robot_in_local_map)
@@ -165,13 +194,11 @@ class GraphSLAM2D:
         self._add_edge(prev, new, ril, cfg.odom_edge_info)
         self.scenes.append(None)
 
+        # the previous map stops being current: capture its final scene, then
         # re-seed the tracker on the new local map with the current measurement
-        self.tracker.state = self.tracker.state._replace(
-            robot_in_local_map=jnp.zeros(3, jnp.float32)
-        )
-        self.tracker._seeded = False
-        self.tracker.compute(measurement, odom)
-        self.scenes[new] = self.tracker.state.scene
+        self.scenes[prev] = self.tracker.capture_scene()
+        self.tracker.reseed(measurement, odom)
+        self.scenes[new] = self.tracker.capture_scene()
         self.current_map = new
 
         if cfg.enable_loop_closure:
@@ -265,11 +292,12 @@ class GraphSLAM2D:
         fixed_batch = jax.tree.map(
             lambda x: x[None], self.scenes[best]
         )
+        cur_scene = self.tracker.capture_scene()
         res = lc._batch_align(
             self.detector.cfg.aligner,
             self.detector.proj,
             fixed_batch,
-            self.tracker.state.scene,
+            cur_scene,
             jnp.asarray(lm_in_best[None]),
         )
         n_inl = int(res.num_inliers[0])
@@ -291,6 +319,7 @@ class GraphSLAM2D:
         )
         if float(np.linalg.norm(ril[:2])) >= self.cfg.local_map_distance:
             return False  # would re-split immediately; not a useful jump
+        self.scenes[self.current_map] = cur_scene
         self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
         self.current_map = best
         self.relocalizations += 1
@@ -316,6 +345,7 @@ class GraphSLAM2D:
         ril = np.asarray(
             geometry.relative(jnp.asarray(poses[best]), jnp.asarray(cur_w))
         )
+        self.scenes[self.current_map] = self.tracker.capture_scene()
         self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
         self.current_map = best
         self.relocalizations += 1

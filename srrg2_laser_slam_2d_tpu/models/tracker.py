@@ -404,6 +404,16 @@ class MultiCueTracker:
             )
         self._seeded = True
 
+    def capture_scene(self) -> Cloud:
+        return self.state.scene
+
+    def reseed(self, measurements: Cloud, odom=None) -> None:
+        self.state = self.state._replace(
+            robot_in_local_map=jnp.zeros(3, jnp.float32)
+        )
+        self._seeded = False
+        self.compute(measurements, odom)
+
     def compute(self, measurements: Cloud, odom=None) -> TrackStats | None:
         if not self._seeded:
             self.state = populate_multi(self.cfg, self.state, measurements, self.extrinsics)
@@ -442,6 +452,20 @@ class LaserTracker:
             )
         self._seeded = True
         self._has_clip_cache = False
+
+    def capture_scene(self) -> Cloud:
+        """Current local-map scene (the tracker-agnostic accessor the SLAM
+        layer uses when a map stops being current)."""
+        return self.state.scene
+
+    def reseed(self, measurement: Cloud, odom=None) -> None:
+        """Start a new local map at the current measurement (the SLAM split
+        path: reset robot-in-local-map, re-populate the scene)."""
+        self.state = self.state._replace(
+            robot_in_local_map=jnp.zeros(3, jnp.float32)
+        )
+        self._seeded = False
+        self.compute(measurement, odom)
 
     def compute(self, measurement: Cloud, odom=None) -> TrackStats | None:
         if not self._seeded:

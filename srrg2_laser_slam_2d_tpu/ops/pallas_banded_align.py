@@ -17,12 +17,13 @@ VPU lane-ops per iteration — with the canvas gather done on the MXU
 
 Layout: everything point-indexed is TRANSPOSED ([fields, points]: fields on
 sublanes, points on lanes) so per-point math runs at full lane utilization
-and the block gather lands as [8, 2W] x [2W, 128] matmuls.
+and the block gather lands as [8, 2W] x [2W, 128] matmuls. Shared building
+blocks live in ops/_beam_kernels.py.
 
 Semantics vs the dense kernel (validated trajectory-equivalent in
 tests/test_banded_align.py):
   - no moving-side z-buffer: two moving points landing on the same beam BOTH
-    match the fixed cell (the dense kernel keeps the closer one) — measure
+    match the fixed cell (the dense kernel keeps the closer one) — measured
     zero to sub-mm trajectory effect, since the depth/normal gates already
     reject occluded pairs;
   - the depth gate compares the fixed winner against each moving point's own
@@ -42,179 +43,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_projector import _atan2
+from . import _beam_kernels as bk
 from .pallas_projective_align import ProjAlignResult, _compose, _solve3_sym
 from .projector import PolarProjection
 
 Array = jax.Array
 
-_BIG = 1.0e30
-_WINDOW = 256  # band window width (2W, W = 128 beams ~ 64 deg at 721/2pi)
+_WINDOW = bk.WINDOW
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(n_fixed: int, m_pad: int, cols_padded: int, iterations: int,
+def _make_kernel(m_pad: int, cols_padded: int, iterations: int,
                  proj: PolarProjection, point_distance: float, normal_cos: float,
                  chi_threshold: float, min_inliers: int, odom_weight: float):
-    n_blocks = m_pad // 128
-
-    def window_start(i: int) -> int:
-        return min(max(i * 128 - (_WINDOW - 128) // 2, 0), cols_padded - _WINDOW)
-
     def kernel(fgeo_ref, mgeoT_ref, t0_ref, prior_ref, out_t_ref, out_stats_ref):
-        # ---- fixed canvas, built once (dense z-buffer over the measurement;
-        # the measurement is not beam-indexed, so no band assumption here) ----
-        fgeo = fgeo_ref[:]
-        fx, fy = fgeo[:, 0], fgeo[:, 1]
-        fnx, fny = fgeo[:, 2], fgeo[:, 3]
-        fv = fgeo[:, 4]
-        beam_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols_padded), 1)
-
-        fd = jnp.sqrt(fx * fx + fy * fy)
-        fang = _atan2(fy, fx)
-        fcolf = jnp.floor(fang * proj.f + proj.c)
-        fok = (
-            (fv > 0) & (fcolf >= 0) & (fcolf < proj.cols)
-            & (fd >= proj.range_min) & (fd <= proj.range_max)
-        )
-        fcol = fcolf.astype(jnp.int32)
-        hit = (fcol[:, None] == beam_ids) & fok[:, None]        # [F, B]
-        dm = jnp.where(hit, fd[:, None], _BIG)
-        fmin = jnp.min(dm, axis=0)                              # [B]
-        is_min = (dm <= fmin[None, :]) & hit
-        cnt = jnp.maximum(jnp.sum(is_min.astype(jnp.float32), axis=0), 1.0)
-        fhot = is_min.astype(jnp.float32) / cnt[None, :]        # [F, B]
-
-        def gather_beam(field):                                 # [F] -> [1, B]
-            return jax.lax.dot_general(
-                field[None, :], fhot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        f_has = (jnp.sum(fhot, axis=0) > 0).astype(jnp.float32)
-        canvasT = jnp.concatenate(
-            [
-                fmin[None, :],
-                gather_beam(fx), gather_beam(fy),
-                gather_beam(fnx), gather_beam(fny),
-                f_has[None, :],
-                jnp.zeros((2, cols_padded), jnp.float32),
-            ],
-            axis=0,
-        )                                                       # [8, B]
+        # fixed canvas once (dense z-buffer: the measurement is not
+        # beam-indexed, so no band assumption on this side)
+        canvasT = bk.build_canvasT(fgeo_ref[:], cols_padded, proj)
 
         mgeoT = mgeoT_ref[:]                                    # [8, M]
-        mx, my = mgeoT[0:1, :], mgeoT[1:2, :]
-        mnx, mny = mgeoT[2:3, :], mgeoT[3:4, :]
-        mv = mgeoT[4:5, :]
+        mov = (mgeoT[0:1, :], mgeoT[1:2, :], mgeoT[2:3, :], mgeoT[3:4, :],
+               mgeoT[4:5, :])
         prior = prior_ref[0, :]
-        win_iota = jax.lax.broadcasted_iota(jnp.int32, (_WINDOW, 128), 0)
 
         def moving_pass(T):
-            """Transform moving, banded-match against the canvas; returns the
-            per-block quantities needed by both the GN step and final stats."""
-            c_, s_ = jnp.cos(T[2]), jnp.sin(T[2])
-            px = c_ * mx - s_ * my + T[0]
-            py = s_ * mx + c_ * my + T[1]
-            nx = c_ * mnx - s_ * mny
-            ny = s_ * mnx + c_ * mny
-            d = jnp.sqrt(px * px + py * py)
-            ang = _atan2(py, px)
-            colf = jnp.floor(ang * proj.f + proj.c)
-            okp = (
-                (mv > 0) & (colf >= 0) & (colf < proj.cols)
-                & (d >= proj.range_min) & (d <= proj.range_max)
-            )
-            col_i = jnp.where(okp, colf, -1.0).astype(jnp.int32)
-
-            acc = jnp.zeros((13, 128), jnp.float32)
-            for i in range(n_blocks):
-                sl = slice(i * 128, (i + 1) * 128)
-                w0 = window_start(i)
-                local = col_i[:, sl] - w0                       # [1, 128]
-                hot = ((win_iota == local) & okp[:, sl]).astype(jnp.float32)
-                gath = jax.lax.dot_general(                     # [8, 128]
-                    canvasT[:, w0:w0 + _WINDOW], hot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                bmin, bfx, bfy = gath[0:1], gath[1:2], gath[2:3]
-                bfnx, bfny, bhas = gath[3:4], gath[4:5], gath[5:6]
-                px_b, py_b, d_b = px[:, sl], py[:, sl], d[:, sl]
-                nx_b, ny_b = nx[:, sl], ny[:, sl]
-
-                close = jnp.abs(bmin - d_b) <= point_distance
-                ndot = bfnx * nx_b + bfny * ny_b
-                ok = (bhas > 0.5) & close & (ndot >= normal_cos)
-
-                e1 = bfnx * (px_b - bfx) + bfny * (py_b - bfy)
-                e2 = nx_b - bfnx
-                e3 = ny_b - bfny
-                chi = e1 * e1 + e2 * e2 + e3 * e3
-                if chi_threshold > 0:
-                    w = jnp.where(chi < chi_threshold, 1.0,
-                                  chi_threshold / jnp.maximum(chi, 1e-20))
-                else:
-                    w = jnp.ones_like(chi)
-                w = jnp.where(ok, w, 0.0)
-                okf = ok.astype(jnp.float32)
-
-                j1c = bfnx * (-py_b) + bfny * px_b
-                sn2 = nx_b * nx_b + ny_b * ny_b
-                thr = chi_threshold if chi_threshold > 0 else _BIG
-                inl = okf * (chi < thr).astype(jnp.float32)
-                terms = jnp.concatenate(
-                    [
-                        w * bfnx * bfnx,                    # 0 h00
-                        w * bfnx * bfny,                    # 1 h01
-                        w * bfnx * j1c,                     # 2 h02
-                        w * bfny * bfny,                    # 3 h11
-                        w * bfny * j1c,                     # 4 h12
-                        w * (j1c * j1c + sn2),              # 5 h22
-                        w * bfnx * e1,                      # 6 b0
-                        w * bfny * e1,                      # 7 b1
-                        w * (j1c * e1 - ny_b * e2 + nx_b * e3),  # 8 b2
-                        okf,                                # 9 n_ok
-                        okf * chi,                          # 10 chi sum
-                        inl * chi,                          # 11 inlier chi
-                        inl,                                # 12 inlier count
-                    ],
-                    axis=0,
-                )
-                acc = acc + terms
-            return jnp.sum(acc, axis=1)                         # [12]
+            f = bk.moving_fields(mov, T, proj)
+            return bk.banded_stats(canvasT, f, cols_padded, point_distance,
+                                   normal_cos, chi_threshold)
 
         def gn_iter(_, T):
             s = moving_pass(T)
-            h00, h01, h02, h11, h12, h22 = s[0], s[1], s[2], s[3], s[4], s[5]
-            b0, b1, b2 = s[6], s[7], s[8]
-            n_ok = s[9]
-
+            sums9 = (s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8])
             if odom_weight > 0:
-                # geodesic odometry prior (ops/icp.odom_prior_linearize)
-                ca, sa = jnp.cos(-prior[2]), jnp.sin(-prior[2])
-                atx = -(jnp.cos(prior[2]) * prior[0] + jnp.sin(prior[2]) * prior[1])
-                aty = -(-jnp.sin(prior[2]) * prior[0] + jnp.cos(prior[2]) * prior[1])
-                ex = atx + ca * T[0] - sa * T[1]
-                ey = aty + sa * T[0] + ca * T[1]
-                et = T[2] - prior[2]
-                jx2 = ca * -T[1] - sa * T[0]
-                jy2 = sa * -T[1] + ca * T[0]
-                h00 = h00 + odom_weight * (ca * ca + sa * sa)
-                h02 = h02 + odom_weight * (ca * jx2 + sa * jy2)
-                h11 = h11 + odom_weight * (ca * ca + sa * sa)
-                h12 = h12 + odom_weight * (-sa * jx2 + ca * jy2)
-                h22 = h22 + odom_weight * (jx2 * jx2 + jy2 * jy2 + 1.0)
-                b0 = b0 + odom_weight * (ca * ex + sa * ey)
-                b1 = b1 + odom_weight * (-sa * ex + ca * ey)
-                b2 = b2 + odom_weight * (jx2 * ex + jy2 * ey + et)
-
+                sums9 = bk.add_odom_prior(sums9, T, prior, odom_weight)
+            h00, h01, h02, h11, h12, h22, b0, b1, b2 = sums9
             dx0, dx1, dx2 = _solve3_sym(h00, h01, h02, h11, h12, h22, -b0, -b1, -b2)
-            guard = n_ok >= min_inliers
+            guard = s[9] >= min_inliers
             dx = jnp.stack(
                 [
                     jnp.where(guard, dx0, 0.0),
@@ -281,7 +148,7 @@ def fused_projective_align_banded(
     prior = initial if odom_prior is None else odom_prior
     out_t, out_stats = pl.pallas_call(
         _make_kernel(
-            fixed_xy.shape[0], m_pad, cols_padded, iterations, proj,
+            m_pad, cols_padded, iterations, proj,
             float(point_distance), float(normal_cos), float(chi_threshold),
             int(min_inliers), float(odom_weight),
         ),

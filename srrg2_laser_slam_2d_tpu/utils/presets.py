@@ -61,10 +61,12 @@ config_mod.register(
         "projection": "polar canvas used for matching/merging/clipping",
         "aligner": "scan-to-scene aligner assembly",
         "use_fused_aligner": "run the whole alignment as one Pallas kernel",
+        "banded_aligner": "block-windowed beam matching in the fused aligner (beam-indexed moving cloud required)",
         "use_fused_scene_ops": "Pallas clip/merge kernels instead of XLA scatters",
         "clipper": "scene clipper: projective | ball",
         "ball_max_range": "SceneClipperBall2D max range [meters]",
         "reuse_clip_canvas": "reuse the merger's canvas as the next clip (fast path)",
+        "lean_scene_ops": "beam-window merge via the cached canvas (zero full-scene projections)",
     },
 )
 config_mod.register(
@@ -130,6 +132,7 @@ config_mod.register(
         "enable_loop_closure": "toggle loop closing",
         "enable_relocalizer": "toggle relocalization",
         "cue_extrinsics": "per-cue sensor-in-robot poses; enables multi-cue tracking",
+        "use_fast_tracker": "track through the fused frame kernel (lazy scene materialization)",
     },
 )
 config_mod.register(PolarProjection)

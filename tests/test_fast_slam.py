@@ -1,0 +1,72 @@
+"""Graph SLAM with the fused-frame fast tracker (use_fast_tracker=True):
+same topology, loop closures and accuracy as the standard tracker path."""
+
+import dataclasses
+
+import numpy as np
+
+from srrg2_laser_slam_2d_tpu.bench import synthetic
+from tests.test_slam import make_pipeline
+
+
+def test_fast_slam_topology_straight_line():
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=20, num_beams=512, max_variance=0.0, drift=(0.11, 0.0, 0.0)
+        )
+    )
+    slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=False)
+    cfg = dataclasses.replace(slam.cfg, use_fast_tracker=True)
+    from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
+
+    fast = slam_mod.GraphSLAM2D(
+        cfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
+    )
+    for k in range(len(ds.ranges)):
+        fast.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+    # same deterministic topology as the standard path
+    # (tests/test_slam.py::test_graph_topology_straight_line)
+    assert fast.num_variables() == 5, fast.num_variables()
+    assert fast.num_factors() == 4, fast.num_factors()
+    err = np.abs(fast.robot_in_world() - ds.robot_poses[-1])
+    assert err[:2].max() < 0.08, err
+    assert err[2] < 0.05, err
+
+
+def test_fast_slam_loop_closure_and_relocalization():
+    """Fast tracker parity with the standard path on a closed loop with
+    relocalization: same graph topology and end-pose error (the absolute
+    error on this noisy 44-step run with 23 relocalization jumps is ~0.5 m
+    for BOTH paths — the parity, not the absolute value, is the check)."""
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(
+            steps=44, num_beams=512, max_variance=0.02,
+            drift=(0.15, 0.0, 2 * np.pi / 40), seed=7,
+        )
+    )
+    from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
+
+    results = {}
+    for fast in (False, True):
+        slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=True)
+        cfg = dataclasses.replace(
+            slam.cfg, use_fast_tracker=fast, enable_relocalizer=True
+        )
+        s = slam_mod.GraphSLAM2D(
+            cfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
+        )
+        for k in range(len(ds.ranges)):
+            s.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
+        err = np.abs(s.robot_in_world() - ds.robot_poses[-1])
+        err[2] = abs(np.arctan2(np.sin(err[2]), np.cos(err[2])))
+        results[fast] = (
+            s.num_variables(), s.num_closures, s.relocalizations,
+            float(np.linalg.norm(err[:2])),
+        )
+
+    ref, fst = results[False], results[True]
+    assert fst[1] >= 1, "no loop closures with the fast tracker"
+    assert fst[2] >= 1, "no relocalization with the fast tracker"
+    assert fst[0] == ref[0], (ref, fst)          # same topology
+    assert abs(fst[1] - ref[1]) <= 0.2 * ref[1]  # same closure activity
+    assert fst[3] <= ref[3] + 0.15, (ref, fst)   # no worse end-pose error
