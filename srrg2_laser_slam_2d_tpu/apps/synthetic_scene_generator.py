@@ -91,6 +91,98 @@ def dataset_to_messages(ds: synthetic.SyntheticDataset):
     return msgs
 
 
+def dual_dataset_to_messages(
+    ds_front: synthetic.SyntheticDataset,
+    ds_rear: synthetic.SyntheticDataset,
+    topics=("/scan_0", "/scan_1"),
+    frames=("laser_frame_0", "laser_frame_1"),
+    odom_noise: float = 0.0,
+    occlude: tuple | None = None,   # (cue_index, start_step, end_step)
+    seed: int = 0,
+):
+    """Dual-rangefinder message log — the MULTI configuration's data shape
+    (configurations/stage_segway_double_config_MULTI.json: two laser topics
+    with their own TF frames). Both datasets must share the robot trajectory
+    (same steps/seed/drift; only ``sensor_in_robot`` differs).
+
+    ``odom_noise`` integrates noisy odometry increments (GT stays in the
+    datasets); ``occlude`` blanks one laser's returns over a step interval
+    (a fully blocked sensor) — the scenario where the second cue must carry
+    the tracking."""
+    rng = np.random.default_rng(seed)
+    assert len(ds_front.ranges) == len(ds_rear.ranges)
+    n_steps = len(ds_front.ranges)
+    gt = ds_front.robot_poses
+    odom = [gt[0].copy()]
+    for t in range(1, n_steps):
+        c, s = np.cos(gt[t - 1][2]), np.sin(gt[t - 1][2])
+        Rm = np.array([[c, s], [-s, c]], np.float32)
+        rel = np.concatenate([Rm @ (gt[t][:2] - gt[t - 1][:2]), [gt[t][2] - gt[t - 1][2]]])
+        rel = rel + rng.normal(scale=odom_noise, size=3).astype(np.float32)
+        c, s = np.cos(odom[-1][2]), np.sin(odom[-1][2])
+        R = np.array([[c, -s], [s, c]], np.float32)
+        odom.append(
+            np.concatenate([odom[-1][:2] + R @ rel[:2], [odom[-1][2] + rel[2]]]).astype(
+                np.float32
+            )
+        )
+
+    msgs = []
+    seq = 0
+    timestamp = 0.0
+    timestep = 0.001
+    datasets = (ds_front, ds_rear)
+    for t in range(n_steps):
+        events = [
+            TransformEvent(
+                timestamp=timestamp,
+                child_frame=frames[c],
+                parent_frame="base_frame",
+                pose=np.asarray(datasets[c].config.sensor_in_robot, np.float32),
+            )
+            for c in range(2)
+        ]
+        msgs.append(
+            TransformEventsMessage(topic="/tf", seq=seq, timestamp=timestamp, events=events)
+        )
+        seq += 1
+        timestamp += timestep
+        for c in range(2):
+            cfg = datasets[c].config
+            ranges = datasets[c].ranges[t]
+            if occlude is not None and occlude[0] == c and occlude[1] <= t < occlude[2]:
+                ranges = np.full_like(ranges, 2.0 * cfg.range_max)
+            msgs.append(
+                LaserMessage(
+                    topic=topics[c],
+                    frame_id=frames[c],
+                    seq=seq,
+                    timestamp=timestamp,
+                    angle_min=cfg.angle_min,
+                    angle_max=cfg.angle_max,
+                    angle_increment=(cfg.angle_max - cfg.angle_min) / cfg.num_beams,
+                    range_min=cfg.range_min,
+                    range_max=cfg.range_max,
+                    ranges=ranges,
+                )
+            )
+            seq += 1
+            timestamp += timestep
+        msgs.append(
+            OdometryMessage(
+                topic="/odom",
+                frame_id="odom",
+                seq=seq,
+                timestamp=timestamp,
+                child_frame="base_frame",
+                pose=odom[t],
+            )
+        )
+        seq += 1
+        timestamp += timestep
+    return msgs
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-m", "--message", default="laser_messages.jsonl")

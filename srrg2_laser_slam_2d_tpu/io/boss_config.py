@@ -117,6 +117,10 @@ def _aligner_from(g: BossGraph, aligner_obj: dict) -> tuple[icp.AlignerConfig, P
     cfg = icp.AlignerConfig(
         max_iterations=int(max_it),
         min_num_inliers=int(min_inl),
+        enable_inlier_only_runs=bool(aligner_obj.get("enable_inlier_only_runs", 0)),
+        keep_only_inlier_correspondences=bool(
+            aligner_obj.get("keep_only_inlier_correspondences", 0)
+        ),
         point_distance=point_distance,
         normal_cos=normal_cos,
         chi_threshold=chi_thr,
@@ -227,9 +231,14 @@ def to_slam_config(g: BossGraph, scene_capacity: int = 8192,
     if gs:
         max_its = gs.get("max_iterations", [20])
         term = g.deref(gs.get("termination_criteria"))
+        algo = g.deref(gs.get("algorithm"))
+        algo_kind = "gn"
+        if algo and "LM" in algo.get("#class", ""):
+            algo_kind = "lm"
         gs_cfg = pgo.PGOConfig(
             max_iterations=int(max_its[0] if isinstance(max_its, list) else max_its),
             epsilon=float(term.get("epsilon", 1e-5)) if term else 1e-5,
+            algorithm=algo_kind,
         )
 
     return slam_mod.GraphSLAMConfig(

@@ -114,14 +114,19 @@ class OdomSubsamplerSource(MessageSource):
             m = self.source.get_message()
             if m is None:
                 return None
-            if not isinstance(m, OdometryMessage) or self.t_step <= 0:
+            if not isinstance(m, OdometryMessage) or (self.t_step <= 0 and self.r_step <= 0):
                 return m
             if self._last is None:
                 self._last = m.pose.copy()
                 return m
             dt = np.linalg.norm(m.pose[:2] - self._last[:2])
             dr = abs(float(np.arctan2(np.sin(m.pose[2] - self._last[2]), np.cos(m.pose[2] - self._last[2]))))
-            if dt >= self.t_step or dr >= self.r_step:
+            # each gate only fires when its step is enabled (reference
+            # MessageOdomSubsamplerSource: translation_step / rotation_step,
+            # config :383-479 — rotation-only subsampling must work too)
+            if (self.t_step > 0 and dt >= self.t_step) or (
+                self.r_step > 0 and dr >= self.r_step
+            ):
                 self._last = m.pose.copy()
                 return m
             # drop subsampled odometry, keep reading

@@ -109,6 +109,47 @@ def _batch_align(
     return jax.vmap(one)(fixed_batch, initials)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "point_distance", "normal_cos", "max_distance2",
+                     "target_merges", "binning"),
+)
+def merge_closure_scenes(
+    proj: PolarProjection,
+    fixed: Cloud,            # candidate map scene (its frame)
+    moving: Cloud,           # query map scene (its frame)
+    query_in_candidate: Array,  # [3] accepted closure estimate
+    point_distance: float = 0.5,
+    normal_cos: float = 0.8,
+    max_distance2: float = 0.25,
+    target_merges: int = 200,
+    binning: bool = True,
+) -> Cloud:
+    """Closure-time map fusion — the tracker slice's ``closure_merger``
+    (``MergerCorrespondencePointNormal2f``, config :55-58 wiring and
+    :656-670 params): corresponding points from the relocalize aligner's
+    projective finder are averaged; unclaimed query points append (binned,
+    budgeted). Returns the fused candidate-map scene."""
+    from ..ops import merge as merge_op
+    from ..ops import projector as projector_op
+
+    canvas = projector_op.project_local(proj, fixed)
+    corr = icp.find_projective(
+        proj, canvas, fixed, moving, query_in_candidate, point_distance, normal_cos
+    )
+    return merge_op.merge_correspondence(
+        fixed,
+        moving,
+        corr.fixed_idx,
+        corr.moving_idx,
+        corr.valid,
+        query_in_candidate,
+        maximum_distance_geometry_squared=max_distance2,
+        target_number_of_merges=target_merges,
+        enable_binning=binning,
+    )
+
+
 def graph_distances(adjacency: list[set[int]], start: int) -> dict[int, int]:
     """Host-side BFS over the local-map graph (LocalMapSelectorBreadthFirst2D)."""
     dist = {start: 0}
@@ -180,9 +221,19 @@ class BruteForceLoopDetector:
         if not cands:
             return []
         K = cfg.max_candidates
-        # static batch: pad by repeating the first candidate (masked later)
+        # static batch: pad by repeating the first candidate (masked later).
+        # Scenes can differ in capacity after host-boundary regrowth
+        # (TrackerConfig.auto_grow_scene) — repad to the largest before stacking
         padded = cands + [cands[0]] * (K - len(cands))
-        fixed_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *[scenes[m] for m in padded])
+        from ..utils import cloud as cloud_lib
+
+        maxcap = max(scenes[m].capacity for m in padded)
+        batch_scenes = [
+            scenes[m] if scenes[m].capacity == maxcap
+            else cloud_lib.repad(scenes[m], maxcap)
+            for m in padded
+        ]
+        fixed_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *batch_scenes)
         # initial guess: query map pose seen from each candidate map
         initials = np.stack(
             [
@@ -223,46 +274,170 @@ class BruteForceLoopDetector:
 
 
 class ClosureValidator:
-    """Vote-based closure acceptance (FactorGraphClosureValidator).
+    """Vote-based closure acceptance (FactorGraphClosureValidator,
+    srrg2_solver utils; parameter surface at config :684-701).
 
-    Each pending closure is re-scored on subsequent rounds by measuring the
-    graph-vs-alignment consistency of its endpoints; after
-    ``min_times_checked`` rounds the accumulated inlier ratio accepts
-    (>= inlier_accept_ratio) or rejects (< inlier_reject_ratio) it.
+    Reference semantics reproduced here: each voting round, a *partition* is
+    grown around every pending closure — all variables within
+    ``partition_expansion_range`` BFS hops of either endpoint — and
+    overlapping partitions are merged, so closures that touch the same region
+    are judged together. Each partition subgraph (its existing graph edges
+    plus ALL pending closure edges inside it) is re-optimized with the gauge
+    fixed at one variable; a closure whose post-optimization residual chi
+    stays below ``inlier_chi`` scores an inlier round (good closures agree
+    with the graph and each other; a geometrically wrong closure fights the
+    odometry backbone and keeps a large residual). After
+    ``min_times_checked`` rounds the inlier-round fraction accepts
+    (>= inlier_accept_ratio) or rejects (< inlier_reject_ratio) the closure.
+
     A round happens every time the SLAM loop calls ``vote`` (once per new
-    local map, matching the reference's per-epoch re-checks).
+    local map, matching the reference's per-epoch re-checks). Trial closure
+    edges enter the partition solve with the closure-edge information
+    (``closure_info``) and the vote chi is the factor's own
+    information-weighted residual, matching the reference's factor-chi gate:
+    a closure across an N-edge backbone retains ~N/(N+1) of its disagreement
+    as residual after the partition solve, so a wrong closure keeps a large
+    chi while a drift-consistent one relaxes below ``inlier_chi``.
     """
 
-    def __init__(self, cfg: ValidatorConfig):
+    def __init__(self, cfg: ValidatorConfig, closure_info=(100.0, 100.0, 1000.0)):
         self.cfg = cfg
+        self.closure_info = np.asarray(closure_info, np.float32)
         self.pending: list[dict] = []
 
     def add(self, closure: ClosureCandidate) -> None:
         self.pending.append({"closure": closure, "checks": 0, "votes": 0})
 
-    def vote(self, poses: np.ndarray) -> list[ClosureCandidate]:
+    # ---- partition machinery ------------------------------------------------
+    def _expand(self, adjacency: list[set[int]], seeds: list[int]) -> set[int]:
+        """BFS region of partition_expansion_range hops around the seeds."""
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        rng = self.cfg.partition_expansion_range
+        while q:
+            u = q.popleft()
+            if dist[u] >= rng:
+                continue
+            for v in adjacency[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return set(dist)
+
+    def _partitions(self, adjacency: list[set[int]]) -> list[tuple[set[int], list[dict]]]:
+        """(variable set, pending entries) per merged partition."""
+        regions = []
+        for p in self.pending:
+            c: ClosureCandidate = p["closure"]
+            regions.append((self._expand(adjacency, [c.query_map, c.candidate_map]), [p]))
+        merged: list[tuple[set[int], list[dict]]] = []
+        for vars_, ps in regions:
+            hit = None
+            for m in merged:
+                if m[0] & vars_:
+                    hit = m
+                    break
+            if hit is None:
+                merged.append((set(vars_), list(ps)))
+            else:
+                hit[0].update(vars_)
+                hit[1].extend(ps)
+        return merged
+
+    def _check_partition(
+        self,
+        vars_: set[int],
+        entries: list[dict],
+        poses: np.ndarray,
+        graph_edges: list[tuple[int, int, np.ndarray, np.ndarray]],
+    ) -> None:
+        """Optimize one partition with its trial closures; score each."""
+        from ..solver import pgo
+
+        order = sorted(vars_)
+        local = {g: l for l, g in enumerate(order)}
+        sub_edges = [
+            (local[i], local[j], m, w)
+            for (i, j, m, w) in graph_edges
+            if i in vars_ and j in vars_
+        ]
+        closure_rows = []
+        for p in entries:
+            c: ClosureCandidate = p["closure"]
+            closure_rows.append((local[c.candidate_map], local[c.query_map], c.estimate))
+        nv = len(order)
+        ne = len(sub_edges) + len(closure_rows)
+        g = pgo.empty_graph(
+            pgo._round_capacity(nv), pgo._round_capacity(max(ne, 1))
+        )
+        sub_poses = np.zeros((g.var_capacity, 3), np.float32)
+        sub_poses[:nv] = poses[order]
+        ei = np.zeros(g.edge_capacity, np.int32)
+        ej = np.zeros(g.edge_capacity, np.int32)
+        meas = np.zeros((g.edge_capacity, 3), np.float32)
+        info = np.ones((g.edge_capacity, 3), np.float32)
+        valid = np.zeros(g.edge_capacity, bool)
+        for k, (i, j, m, w) in enumerate(sub_edges):
+            ei[k], ej[k], meas[k], info[k], valid[k] = i, j, m, w, True
+        for k, (i, j, m) in enumerate(closure_rows, start=len(sub_edges)):
+            ei[k], ej[k], meas[k], valid[k] = i, j, m, True
+            info[k] = self.closure_info
+        var_valid = np.zeros(g.var_capacity, bool)
+        var_valid[:nv] = True
+        var_fixed = np.zeros(g.var_capacity, bool)
+        var_fixed[0] = True
+        g = g._replace(
+            poses=jnp.asarray(sub_poses),
+            var_valid=jnp.asarray(var_valid),
+            var_fixed=jnp.asarray(var_fixed),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            edge_meas=jnp.asarray(meas),
+            edge_info=jnp.asarray(info),
+            edge_valid=jnp.asarray(valid),
+        )
+        # Cauchy at inlier_chi (the reference global solver's robustifier
+        # policy, config :76-81): an outlier closure is down-weighted during
+        # the partition solve and cannot bend the backbone into agreeing
+        # with it, so good and bad closures separate cleanly in chi.
+        solved, _, _ = pgo.optimize(
+            pgo.PGOConfig(max_iterations=10, chi_threshold=self.cfg.inlier_chi), g
+        )
+        opt = np.asarray(solved.poses)
+        for p, (i, j, m) in zip(entries, closure_rows):
+            e = np.asarray(
+                pgo.edge_residual(jnp.asarray(opt[i]), jnp.asarray(opt[j]), jnp.asarray(m))
+            )
+            chi = float(np.sum(e * e * self.closure_info))
+            p["checks"] += 1
+            if chi < self.cfg.inlier_chi:
+                p["votes"] += 1
+
+    def vote(
+        self,
+        poses: np.ndarray,
+        adjacency: list[set[int]] | None = None,
+        graph_edges: list[tuple[int, int, np.ndarray]] | None = None,
+    ) -> list[ClosureCandidate]:
         """Run one voting round against the current pose estimates; returns
-        newly accepted closures (removed from pending)."""
+        newly accepted closures (removed from pending). ``graph_edges`` is the
+        list of existing (i, j, measurement) graph edges; the partitions are
+        grown over ``adjacency``."""
         if not self.cfg.enabled:
             out = [p["closure"] for p in self.pending]
             self.pending.clear()
             return out
+        if not self.pending:
+            return []
+        assert adjacency is not None and graph_edges is not None, (
+            "partition-based validation needs the graph adjacency and edges"
+        )
+        for vars_, entries in self._partitions(adjacency):
+            self._check_partition(vars_, entries, poses, graph_edges)
         accepted = []
         still = []
         for p in self.pending:
             c: ClosureCandidate = p["closure"]
-            # consistency: closure-predicted relative pose vs graph-estimated
-            rel_graph = np.asarray(
-                geometry.relative(
-                    jnp.asarray(poses[c.candidate_map]), jnp.asarray(poses[c.query_map])
-                )
-            )
-            diff = rel_graph - c.estimate
-            diff[2] = np.arctan2(np.sin(diff[2]), np.cos(diff[2]))
-            chi = float(diff[:2] @ diff[:2] + diff[2] * diff[2])
-            p["checks"] += 1
-            if chi < self.cfg.inlier_chi * max(c.num_inliers, 1) / 100.0 + 0.25:
-                p["votes"] += 1
             if p["checks"] >= self.cfg.min_times_checked:
                 ratio = p["votes"] / p["checks"]
                 if ratio >= self.cfg.inlier_accept_ratio:

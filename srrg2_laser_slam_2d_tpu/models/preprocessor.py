@@ -99,6 +99,11 @@ class ScanPreprocessor:
         self.cfg = cfg
         self._model: LaserModel | None = None
         self._proj: projector_op.PolarProjection | None = None
+        # per-stage status surface (reference _status = Error/Ready/Successful,
+        # raw_data_preprocessor_projective_2d.cpp:15-17); evaluated lazily so
+        # the hot path pays no device sync
+        self._last_output: Cloud | None = None
+        self._error = False
 
     def set_model(self, model: LaserModel) -> None:
         if model != self._model:
@@ -110,9 +115,24 @@ class ScanPreprocessor:
         assert self._proj is not None, "no laser model set"
         return self._proj
 
+    @property
+    def status(self):
+        from ..utils.status import Status
+
+        if self._error:
+            return Status.ERROR
+        if self._last_output is None:
+            return Status.READY
+        return Status.SUCCESS if int(self._last_output.count()) > 0 else Status.ERROR
+
     def compute(self, ranges: Array) -> Cloud:
-        assert self._proj is not None, "no laser model set"
-        return preprocess_scan(self._proj, self.cfg, jnp.asarray(ranges, jnp.float32))
+        if self._proj is None:
+            self._error = True
+            raise RuntimeError("no laser model set")
+        out = preprocess_scan(self._proj, self.cfg, jnp.asarray(ranges, jnp.float32))
+        self._last_output = out
+        self._error = False
+        return out
 
     def process_message(self, msg) -> Cloud:
         """Accepts an io.messages.LaserMessage (duck-typed)."""

@@ -37,9 +37,12 @@ class SlamRunner:
     slam_config: GraphSLAMConfig = field(default_factory=GraphSLAMConfig)
     preprocessor_config: PreprocessorConfig = field(default_factory=PreprocessorConfig)
     scan_topic: str | None = None
-    # MULTI config: several laser topics, one per cue (requires
-    # slam_config.cue_extrinsics of the same length)
+    # MULTI config: several laser topics, one per cue. Per-cue extrinsics are
+    # either given in slam_config.cue_extrinsics or derived from the TF tree
+    # via sensor_frames/base_frame (the reference's frame_id/base_frame_id on
+    # each tracker slice, configurations/..._MULTI.json)
     scan_topics: list | None = None
+    sensor_frames: list | None = None
     odom_topic: str = "/odom"
     sensor_frame: str | None = None
     base_frame: str | None = None
@@ -54,11 +57,24 @@ class SlamRunner:
 
     def _ensure_slam(self):
         if self.slam is None:
+            cfg = self.slam_config
+            if self.scan_topics and self.sensor_frames and self.base_frame:
+                # MULTI: per-cue extrinsics from the TF tree
+                import dataclasses
+
+                extrs = []
+                for f in self.sensor_frames:
+                    tf = self.platform.get_transform(f, self.base_frame)
+                    if tf is None:
+                        raise RuntimeError(f"no TF {f} -> {self.base_frame} yet")
+                    extrs.append(tuple(float(v) for v in tf))
+                cfg = dataclasses.replace(cfg, cue_extrinsics=tuple(extrs))
+                self.slam_config = cfg
             extr = self.sensor_in_robot
             if extr is None and self.sensor_frame and self.base_frame:
                 tf = self.platform.get_transform(self.sensor_frame, self.base_frame)
                 extr = tf
-            self.slam = GraphSLAM2D(self.slam_config, sensor_in_robot=extr)
+            self.slam = GraphSLAM2D(cfg, sensor_in_robot=extr)
         return self.slam
 
     def put_message(self, msg) -> bool:

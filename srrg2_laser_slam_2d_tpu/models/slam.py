@@ -53,6 +53,12 @@ class GraphSLAMConfig:
     schur_partitions: int = 8
     enable_loop_closure: bool = True
     enable_relocalizer: bool = True
+    # closure-time map fusion — the tracker slice's closure_merger
+    # (MergerCorrespondencePointNormal2f, config :55-58, params :656-670)
+    enable_closure_merger: bool = True
+    closure_merge_max_distance2: float = 0.25
+    closure_merge_target: int = 200
+    closure_merge_binning: bool = True
     # MULTI config: per-cue sensor extrinsics ((x, y, theta), ...). When set,
     # the tracker runs as MultiCueTracker and ``process`` expects cue-stacked
     # measurements [C, N, ...] (configurations/..._MULTI.json adds the second
@@ -102,14 +108,41 @@ class GraphSLAM2D:
         self.n_edges = 0
         self.current_map = -1
         self.detector = lc.BruteForceLoopDetector(cfg.detector, cfg.tracker.projection)
-        self.validator = lc.ClosureValidator(cfg.validator)
+        self.validator = lc.ClosureValidator(cfg.validator, cfg.closure_edge_info)
         self.num_closures = 0
         self.relocalizations = 0
 
     # ---- graph bookkeeping -------------------------------------------------
+    def _grow_graph(self, var_capacity=None, edge_capacity=None) -> None:
+        """Host-boundary capacity regrowth of the pose graph (the reference
+        resizes dynamically; the static-shape equivalent doubles the arrays
+        between steps — pgo.trim keeps compiled solver shapes bounded)."""
+        g = self.graph
+        vc = var_capacity or g.var_capacity
+        ec = edge_capacity or g.edge_capacity
+
+        def pad(x, cap):
+            extra = cap - x.shape[0]
+            if extra <= 0:
+                return x
+            widths = ((0, extra),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        self.graph = pgo.PoseGraph(
+            poses=pad(g.poses, vc),
+            var_valid=pad(g.var_valid, vc),
+            var_fixed=pad(g.var_fixed, vc),
+            edge_i=pad(g.edge_i, ec),
+            edge_j=pad(g.edge_j, ec),
+            edge_meas=pad(g.edge_meas, ec),
+            edge_info=pad(g.edge_info, ec),
+            edge_valid=pad(g.edge_valid, ec),
+        )
+
     def _add_variable(self, pose: np.ndarray, fixed: bool = False) -> int:
         idx = self.n_maps
-        assert idx < self.cfg.var_capacity, "variable capacity exceeded"
+        if idx >= self.graph.var_capacity:
+            self._grow_graph(var_capacity=2 * self.graph.var_capacity)
         g = self.graph
         self.graph = g._replace(
             poses=g.poses.at[idx].set(jnp.asarray(pose, jnp.float32)),
@@ -122,7 +155,8 @@ class GraphSLAM2D:
 
     def _add_edge(self, i: int, j: int, meas: np.ndarray, info: tuple) -> None:
         e = self.n_edges
-        assert e < self.cfg.edge_capacity, "edge capacity exceeded"
+        if e >= self.graph.edge_capacity:
+            self._grow_graph(edge_capacity=2 * self.graph.edge_capacity)
         g = self.graph
         self.graph = g._replace(
             edge_i=g.edge_i.at[e].set(i),
@@ -139,6 +173,17 @@ class GraphSLAM2D:
     @property
     def poses_np(self) -> np.ndarray:
         return np.asarray(self.graph.poses)
+
+    def _edge_list(self) -> list[tuple[int, int, np.ndarray, np.ndarray]]:
+        """Live (i, j, measurement, info) edges, for the closure validator's
+        partition subgraphs."""
+        ei = np.asarray(self.graph.edge_i[: self.n_edges])
+        ej = np.asarray(self.graph.edge_j[: self.n_edges])
+        meas = np.asarray(self.graph.edge_meas[: self.n_edges])
+        info = np.asarray(self.graph.edge_info[: self.n_edges])
+        return [
+            (int(ei[k]), int(ej[k]), meas[k], info[k]) for k in range(self.n_edges)
+        ]
 
     def robot_in_world(self) -> np.ndarray:
         if self.current_map < 0:
@@ -211,7 +256,9 @@ class GraphSLAM2D:
         )
         for c in closures:
             self.validator.add(c)
-        accepted = self.validator.vote(self.poses_np)
+        accepted = self.validator.vote(
+            self.poses_np, self.adjacency, self._edge_list()
+        )
         if not accepted:
             return
         added = 0
@@ -226,11 +273,40 @@ class GraphSLAM2D:
             )
             self.num_closures += 1
             added += 1
+            if cfg.enable_closure_merger:
+                self._merge_closure_scenes(c)
         if not added:
             return
         self._global_solve()
         if cfg.enable_relocalizer:
             self._try_relocalize()
+
+    def _merge_closure_scenes(self, c: lc.ClosureCandidate) -> None:
+        """Fuse the query map's scene into the candidate map's on an accepted
+        closure, so re-traversals track against the joint map (the reference's
+        closure_merger wiring, config :55-58)."""
+        cfg = self.cfg
+        fixed = self.scene_of(c.candidate_map)
+        moving = self.scene_of(c.query_map)
+        if fixed is None or moving is None:
+            return
+        fused = lc.merge_closure_scenes(
+            self.cfg.tracker.projection,
+            fixed,
+            moving,
+            jnp.asarray(c.estimate, jnp.float32),
+            point_distance=cfg.detector.aligner.point_distance,
+            normal_cos=cfg.detector.aligner.normal_cos,
+            max_distance2=cfg.closure_merge_max_distance2,
+            target_merges=cfg.closure_merge_target,
+            binning=cfg.closure_merge_binning,
+        )
+        if c.candidate_map == self.current_map:
+            self.tracker.set_scene(
+                fused, robot_in_local_map=self.tracker.robot_in_local_map
+            )
+        else:
+            self.scenes[c.candidate_map] = fused
 
     def _global_solve(self) -> None:
         trimmed, _, _ = pgo.trim(self.graph, self.n_maps, self.n_edges)
@@ -269,7 +345,11 @@ class GraphSLAM2D:
         rcfg = self.cfg.relocalizer
         poses = self.poses_np
         cur_w = self.robot_in_world()
-        radius = min(rcfg.max_translation, self.cfg.local_map_distance)
+        # candidate search radius is the reference's max_translation
+        # (config :577-596: 3 m); jumps that would immediately re-split are
+        # rejected AFTER the verified alignment (below), so a stale graph
+        # pose does not hide a legitimate nearby map
+        radius = rcfg.max_translation
         cands = []
         for m in range(self.n_maps):
             if m == self.current_map or self.scenes[m] is None:

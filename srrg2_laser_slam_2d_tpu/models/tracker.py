@@ -83,6 +83,13 @@ class TrackerConfig:
     # side ALSO comes from the cached canvas (ops/merge.merge_projective_lean)
     # — zero full-scene projections per frame, every op beam-sized
     lean_scene_ops: bool = False
+    # host-boundary capacity regrowth: when the scene fills past
+    # grow_watermark, the host wrapper re-pads it to 2x capacity before the
+    # next step (one re-jit per growth) — the static-shape answer to the
+    # reference's dynamic resize (merger_projective_2d.cpp:31-33). Appends
+    # that would not fit are counted in TrackStats.dropped_appends either way.
+    auto_grow_scene: bool = True
+    grow_watermark: float = 0.9
 
 
 class TrackerState(NamedTuple):
@@ -103,6 +110,12 @@ class TrackStats(NamedTuple):
     num_correspondences: Array
     num_inliers: Array
     iterations: Array
+    # status surface (utils/status.py; the reference's per-stage _status):
+    # aligner SUCCESS iff it reached min_num_inliers actual inliers
+    status: Array              # [] int32 Status code
+    scene_count: Array         # [] int32 post-merge scene occupancy
+    scene_full: Array          # [] bool  scene at capacity (appends may drop)
+    dropped_appends: Array     # [] int32 appends that did not fit (-1 unknown)
 
 
 def init_state(cfg: TrackerConfig, sensor_in_robot=None) -> TrackerState:
@@ -230,6 +243,7 @@ def track_step_impl(
 
     clip_cache = state.clip_cache
     clip_cache_rows = state.clip_cache_rows
+    dropped = jnp.int32(-1)  # unknown unless the merge path reports it
     if cfg.lean_scene_ops and use_clip_cache:
         scene, clip_cache, clip_cache_rows = merge_op.merge_projective_lean(
             cfg.projection,
@@ -264,21 +278,23 @@ def track_step_impl(
         else:
             scene = out
     elif cfg.reuse_clip_canvas:
-        scene, clip_cache, clip_cache_rows = merge_op.merge_projective(
+        scene, clip_cache, clip_cache_rows, dropped = merge_op.merge_projective(
             cfg.projection,
             state.scene,
             measurement,
             measurement_in_scene=geometry.compose(X_new, S),
             merge_threshold=cfg.merge_threshold,
             return_canvas=True,
+            return_dropped=True,
         )
     else:
-        scene = merge_op.merge_projective(
+        scene, dropped = merge_op.merge_projective(
             cfg.projection,
             state.scene,
             measurement,
             measurement_in_scene=geometry.compose(X_new, S),
             merge_threshold=cfg.merge_threshold,
+            return_dropped=True,
         )
 
     new_state = state._replace(
@@ -289,12 +305,19 @@ def track_step_impl(
         clip_cache=clip_cache,
         clip_cache_rows=clip_cache_rows,
     )
+    scene_count = jnp.sum(scene.valid.astype(jnp.int32))
     stats = TrackStats(
         estimate=res.estimate,
         chi=res.chi,
         num_correspondences=res.num_correspondences,
         num_inliers=res.num_inliers,
         iterations=res.iterations,
+        status=jnp.where(
+            res.num_inliers >= cfg.aligner.min_num_inliers, jnp.int32(2), jnp.int32(0)
+        ),
+        scene_count=scene_count,
+        scene_full=scene_count >= scene.capacity,
+        dropped_appends=dropped,
     )
     return new_state, stats
 
@@ -354,12 +377,19 @@ def track_step_multi_impl(
         last_odom=jnp.where(odom_valid, odom, state.last_odom),
         has_odom=state.has_odom | odom_valid,
     )
+    scene_count = jnp.sum(scene.valid.astype(jnp.int32))
     stats = TrackStats(
         estimate=res.estimate,
         chi=res.chi,
         num_correspondences=res.num_correspondences,
         num_inliers=res.num_inliers,
         iterations=res.iterations,
+        status=jnp.where(
+            res.num_inliers >= cfg.aligner.min_num_inliers, jnp.int32(2), jnp.int32(0)
+        ),
+        scene_count=scene_count,
+        scene_full=scene_count >= scene.capacity,
+        dropped_appends=jnp.int32(-1),
     )
     return new_state, stats
 
@@ -445,6 +475,12 @@ class LaserTracker:
         return self.state.robot_in_local_map
 
     def set_scene(self, scene: Cloud, robot_in_local_map=None) -> None:
+        if scene.capacity != self.cfg.scene_capacity:
+            # scenes may have been grown (auto_grow_scene): keep the config's
+            # capacity in sync with the actual array shape
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, scene_capacity=scene.capacity)
         self.state = self.state._replace(scene=scene)
         if robot_in_local_map is not None:
             self.state = self.state._replace(
@@ -486,4 +522,20 @@ class LaserTracker:
             use_clip_cache=self._has_clip_cache and self.cfg.reuse_clip_canvas,
         )
         self._has_clip_cache = bool(self.cfg.reuse_clip_canvas)
+        self._maybe_grow_scene(stats)
         return stats
+
+    def _maybe_grow_scene(self, stats: TrackStats) -> None:
+        """Capacity regrowth at a safe host boundary (between jitted steps)."""
+        cfg = self.cfg
+        if not cfg.auto_grow_scene:
+            return
+        if int(stats.scene_count) < cfg.grow_watermark * cfg.scene_capacity:
+            return
+        import dataclasses
+
+        new_cap = cfg.scene_capacity * 2
+        self.cfg = dataclasses.replace(cfg, scene_capacity=new_cap)
+        self.state = self.state._replace(
+            scene=cloud_op.repad(self.state.scene, new_cap)
+        )

@@ -58,6 +58,11 @@ class AlignerConfig:
 
     max_iterations: int = 10
     min_num_inliers: int = 10
+    # MultiAligner2D toggles (config :9-37; both default 0 in the shipped
+    # assemblies): extra refinement runs over the inlier set only, and a
+    # final pass that drops non-inlier correspondences before the last solve
+    enable_inlier_only_runs: bool = False
+    keep_only_inlier_correspondences: bool = False
     # SimpleTerminationCriteria chi-decay ratio; None = always run all
     # iterations (the shipped configs set termination_criteria: -1 on the
     # outer aligner loop)
@@ -153,6 +158,7 @@ def p2p_linearize(
     moving: Cloud,
     corr: Correspondences,
     chi_threshold: float,
+    inlier_only: bool = False,
 ) -> tuple[Array, Array, Array, Array, Array]:
     """Robustified plane-to-plane linearization over a correspondence set.
 
@@ -183,7 +189,11 @@ def p2p_linearize(
     # J rows: [n_f.x, n_f.y, n_f.sp], [0, 0, sn.x], [0, 0, sn.y]
     j1 = jnp.concatenate([n_f, jnp.sum(n_f * sp, axis=-1, keepdims=True)], axis=-1)
 
-    if chi_threshold > 0:
+    if inlier_only and chi_threshold > 0:
+        # hard inlier selection (enable_inlier_only_runs /
+        # keep_only_inlier_correspondences refinement passes)
+        w = jnp.where(chi < chi_threshold, 1.0, 0.0)
+    elif chi_threshold > 0:
         w = jnp.where(chi < chi_threshold, 1.0, chi_threshold / jnp.maximum(chi, 1e-20))
     else:
         w = jnp.ones_like(chi)
@@ -290,7 +300,7 @@ def align_multi(
             H, b, chi = H + Ho, b + bo, chi + chio
         H = H + cfg.damping * jnp.eye(3, dtype=H.dtype)
         ok = (n_corr >= max(cfg.min_num_correspondences, 1)) & (
-            n_corr >= cfg.min_num_inliers
+            n_inl >= cfg.min_num_inliers
         )
         dx = solve3(H + (1.0 - ok) * jnp.eye(3, dtype=H.dtype) * 1e6, -b)
         dx = jnp.where(ok, dx, jnp.zeros_like(dx))
@@ -348,29 +358,51 @@ def align(
     else:
         raise ValueError(f"unknown finder {cfg.finder!r}")
 
-    def iteration(estimate):
-        corr = find(estimate)
-        n_corr = jnp.sum(corr.valid.astype(jnp.int32))
-        H, b, chi, n_inl, chi_inl_sum = p2p_linearize(
-            estimate, fixed, moving, corr, cfg.chi_threshold
-        )
-        if odom_prior is not None and cfg.odom_weight > 0:
-            Ho, bo, chio = odom_prior_linearize(estimate, odom_prior, cfg.odom_weight)
-            H, b, chi = H + Ho, b + bo, chi + chio
-        H = H + cfg.damping * jnp.eye(3, dtype=H.dtype)
-        # guard: rank-deficient systems (too few correspondences) keep estimate
-        ok = (n_corr >= max(cfg.min_num_correspondences, 1)) & (
-            n_corr >= cfg.min_num_inliers
-        )
-        dx = solve3(
-            H + (1.0 - ok) * jnp.eye(3, dtype=H.dtype) * 1e6, -b
-        )
-        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
-        new_estimate = geometry.compose(dx, estimate)  # pre-multiplied increment
-        chi_inl_mean = chi_inl_sum / jnp.maximum(n_inl.astype(jnp.float32), 1.0)
-        return new_estimate, (chi, n_corr, n_inl, chi_inl_mean)
+    def make_iteration(inlier_only: bool):
+        def iteration(estimate):
+            corr = find(estimate)
+            n_corr = jnp.sum(corr.valid.astype(jnp.int32))
+            H, b, chi, n_inl, chi_inl_sum = p2p_linearize(
+                estimate, fixed, moving, corr, cfg.chi_threshold,
+                inlier_only=inlier_only,
+            )
+            if odom_prior is not None and cfg.odom_weight > 0:
+                Ho, bo, chio = odom_prior_linearize(estimate, odom_prior, cfg.odom_weight)
+                H, b, chi = H + Ho, b + bo, chi + chio
+            H = H + cfg.damping * jnp.eye(3, dtype=H.dtype)
+            # guards: rank-deficient systems keep the estimate, and the
+            # solve requires min_num_inliers ACTUAL inliers (chi below the
+            # robustifier threshold), not merely correspondences
+            ok = (n_corr >= max(cfg.min_num_correspondences, 1)) & (
+                n_inl >= cfg.min_num_inliers
+            )
+            dx = solve3(
+                H + (1.0 - ok) * jnp.eye(3, dtype=H.dtype) * 1e6, -b
+            )
+            dx = jnp.where(ok, dx, jnp.zeros_like(dx))
+            new_estimate = geometry.compose(dx, estimate)  # pre-multiplied increment
+            chi_inl_mean = chi_inl_sum / jnp.maximum(n_inl.astype(jnp.float32), 1.0)
+            return new_estimate, (chi, n_corr, n_inl, chi_inl_mean)
 
-    return _iterate(cfg, iteration, initial)
+        return iteration
+
+    res = _iterate(cfg, make_iteration(False), initial)
+    if cfg.enable_inlier_only_runs and cfg.chi_threshold > 0:
+        refined = _iterate(cfg, make_iteration(True), res.estimate)
+        res = refined._replace(iterations=res.iterations + refined.iterations)
+    if cfg.keep_only_inlier_correspondences and cfg.chi_threshold > 0:
+        # one last solve over the surviving inlier correspondences only
+        est, (chi, n_corr, n_inl, chi_inl) = make_iteration(True)(res.estimate)
+        res = AlignResult(
+            estimate=est,
+            chi=chi,
+            num_correspondences=n_corr,
+            num_inliers=n_inl,
+            chi_inliers=chi_inl,
+            iterations=res.iterations + 1,
+            stats=res.stats,
+        )
+    return res
 
 
 def _iterate(cfg: AlignerConfig, iteration, initial: Array) -> AlignResult:

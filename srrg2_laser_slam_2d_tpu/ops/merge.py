@@ -218,6 +218,7 @@ def merge_projective(
     measurement_in_scene: Array,
     merge_threshold: float = 0.2,
     return_canvas: bool = False,
+    return_dropped: bool = False,
 ):
     """Fuse ``measurement`` (own frame) into ``scene`` (scene frame) given the
     estimated measurement pose. Returns the updated scene (same capacity).
@@ -288,8 +289,12 @@ def merge_projective(
     new_count = jnp.minimum(count + jnp.sum(do_append.astype(jnp.int32)), cap)
     valid = jnp.arange(cap) < new_count
     new_scene = Cloud(xy=xy, normal=nm, valid=valid)
+    # capacity-saturation accounting (the reference resizes dynamically,
+    # merger_projective_2d.cpp:31-33; the static-shape equivalent reports
+    # how many appends did not fit so the host can regrow at a safe boundary)
+    dropped = jnp.sum((do_append & (slot >= cap)).astype(jnp.int32))
     if not return_canvas:
-        return new_scene
+        return (new_scene, dropped) if return_dropped else new_scene
 
     # post-merge per-beam cell in the camera frame (see docstring)
     s_loc_p = scene_local.xy[s_idx]
@@ -317,4 +322,6 @@ def merge_projective(
         jnp.where(m_ok | s_ok, s_idx, -1),
     ).astype(jnp.int32)
     cell_rows = jnp.where(cell_valid, cell_rows, -1)
+    if return_dropped:
+        return new_scene, canvas_cloud, cell_rows, dropped
     return new_scene, canvas_cloud, cell_rows

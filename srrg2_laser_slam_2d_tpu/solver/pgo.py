@@ -42,6 +42,13 @@ class PGOConfig:
     chi_threshold: float = 0.0      # Cauchy on PGO edges; <=0 disables
     damping: float = 1e-6           # numeric stabilization of the dense solve
     anchor_weight: float = 1e6      # gauge prior on fixed variables
+    # iteration algorithm — the reference Solver's pluggable
+    # IterationAlgorithmGN / IterationAlgorithmLM ("GN/LM or others",
+    # config :92): "gn" (default, matching the shipped assemblies) or "lm"
+    # (adaptive Levenberg-Marquardt with accept/reject steps)
+    algorithm: str = "gn"
+    lm_lambda_init: float = 1e-4
+    lm_lambda_factor: float = 4.0
 
 
 class PoseGraph(NamedTuple):
@@ -160,13 +167,55 @@ def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]
     )
     diag_extra = jnp.repeat(diag_extra, 3)
 
+    movable = graph.var_valid & ~graph.var_fixed
+
+    if cfg.algorithm == "lm":
+
+        def body(state):
+            it, poses, chi_cur, chi_prev, lam = state
+            g = graph._replace(poses=poses)
+            H, b, chi, _ = linearize(g, cfg.chi_threshold)
+            H = H + jnp.diag(diag_extra)
+            # LM damping on the diagonal; try the step, accept on chi decrease
+            Hlm = H + lam * jnp.diag(jnp.diag(H))
+            dx = jnp.linalg.solve(Hlm, -b).reshape(v, 3)
+            dx = jnp.where(movable[:, None], dx, 0.0)
+            cand = geometry.compose(dx, poses)
+            _, _, chi_new, _ = linearize(graph._replace(poses=cand), cfg.chi_threshold)
+            accept = chi_new < chi
+            poses = jnp.where(accept, cand, poses)
+            lam = jnp.clip(
+                jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor),
+                1e-9,
+                1e8,
+            )
+            return it + 1, poses, jnp.where(accept, chi_new, chi), chi, lam
+
+        def cond(state):
+            it, _, chi, chi_prev, _ = state
+            not_done = it < cfg.max_iterations
+            decayed = jnp.abs(chi_prev - chi) < cfg.epsilon * jnp.maximum(chi_prev, 1e-20)
+            return not_done & ~((it > 1) & decayed)
+
+        it, poses, chi, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.int32(0),
+                graph.poses,
+                jnp.float32(jnp.inf),
+                jnp.float32(jnp.inf),
+                jnp.float32(cfg.lm_lambda_init),
+            ),
+        )
+        return graph._replace(poses=poses), chi, it
+
     def body(state):
         it, poses, chi_prev, _ = state
         g = graph._replace(poses=poses)
         H, b, chi, _ = linearize(g, cfg.chi_threshold)
         H = H + jnp.diag(diag_extra)
         dx = jnp.linalg.solve(H, -b).reshape(v, 3)
-        movable = graph.var_valid & ~graph.var_fixed
         dx = jnp.where(movable[:, None], dx, 0.0)
         new_poses = geometry.compose(dx, poses)  # pre-multiplied block update
         return it + 1, new_poses, chi, chi_prev

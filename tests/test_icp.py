@@ -164,3 +164,72 @@ def test_alignment_recovers_larger_offset():
     res = icp.align(acfg, match_proj, clouds[0], clouds[0], jnp.array([0.15, -0.1, 0.1]))
     est = np.asarray(res.estimate)
     np.testing.assert_allclose(est, np.zeros(3), atol=5e-3)
+
+
+def _ring_alignment_setup(outlier_fraction=0.0, seed=11):
+    rng = np.random.default_rng(seed)
+    n = 256
+    t = (np.arange(n) + 0.35) * (2 * np.pi / n) - np.pi
+    # ellipse (not a circle — rotation must be observable)
+    ea, eb = 3.0, 2.0
+    xy = np.stack([ea * np.cos(t), eb * np.sin(t)], 1).astype(np.float32)
+    nrm = -np.stack([np.cos(t) / ea, np.sin(t) / eb], 1).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    fixed = cloud_op.from_numpy(xy, nrm)
+    gt = np.array([0.12, -0.08, 0.06], np.float32)
+    inv = g.inverse(jnp.asarray(gt))
+    mov_xy = np.array(g.transform_points(inv, jnp.asarray(xy)))
+    mov_n = np.array(g.rotate_vectors(inv, jnp.asarray(nrm)))
+    if outlier_fraction > 0:
+        k = int(n * outlier_fraction)
+        idx = rng.choice(n, k, replace=False)
+        mov_xy[idx] += rng.normal(scale=0.4, size=(k, 2)).astype(np.float32)
+    moving = cloud_op.from_numpy(mov_xy, mov_n)
+    proj = projector_op.PolarProjection.make(
+        cols=n, angle_min=-np.pi, angle_max=np.pi, range_min=0.1, range_max=10.0
+    )
+    return proj, fixed, moving, gt
+
+
+def test_inlier_only_runs_refine_under_outliers():
+    # enable_inlier_only_runs (MultiAligner2D toggle, config :13-14): with
+    # corrupted points in the moving cloud the inlier-only refinement ends at
+    # least as close to GT as the plain run
+    proj, fixed, moving, gt = _ring_alignment_setup(outlier_fraction=0.25)
+    base = icp.AlignerConfig(max_iterations=15, odom_weight=0.0)
+    plain = icp.align(base, proj, fixed, moving, jnp.zeros(3))
+    import dataclasses
+    refined = icp.align(
+        dataclasses.replace(base, enable_inlier_only_runs=True),
+        proj, fixed, moving, jnp.zeros(3),
+    )
+    err_ref = np.linalg.norm(np.asarray(refined.estimate) - gt)
+    assert err_ref < 0.05, err_ref
+    assert int(refined.iterations) > int(plain.iterations)
+
+
+def test_keep_only_inlier_correspondences_final_pass():
+    proj, fixed, moving, gt = _ring_alignment_setup(outlier_fraction=0.2)
+    import dataclasses
+    base = icp.AlignerConfig(max_iterations=15, odom_weight=0.0)
+    res = icp.align(
+        dataclasses.replace(base, keep_only_inlier_correspondences=True),
+        proj, fixed, moving, jnp.zeros(3),
+    )
+    plain = icp.align(base, proj, fixed, moving, jnp.zeros(3))
+    # the final pass counts only surviving inliers
+    assert int(res.num_inliers) <= int(plain.num_correspondences)
+    np.testing.assert_allclose(np.asarray(res.estimate), gt, atol=0.05)
+
+
+def test_solve_gated_on_actual_inliers():
+    # a moving cloud with totally wrong normals produces correspondences but
+    # zero inliers: the estimate must stay at the initial guess
+    proj, fixed, moving, gt = _ring_alignment_setup()
+    flipped = cloud_op.Cloud(moving.xy, -moving.normal, moving.valid)
+    init = jnp.asarray([0.3, 0.2, 0.1])
+    res = icp.align(
+        icp.AlignerConfig(max_iterations=5, odom_weight=0.0, min_num_inliers=10),
+        proj, fixed, flipped, init,
+    )
+    np.testing.assert_allclose(np.asarray(res.estimate), np.asarray(init), atol=1e-6)

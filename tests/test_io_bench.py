@@ -147,6 +147,27 @@ def test_odom_subsampler():
     assert np.all(ds >= 0.2 - 1e-5)
 
 
+def test_odom_subsampler_rotation_only():
+    # translation_step=0, rotation_step>0: only accumulated-rotation gates
+    # (reference MessageOdomSubsamplerSource semantics, config :383-479)
+    msgs = []
+    th = 0.0
+    for k in range(20):
+        th += 0.1
+        msgs.append(OdometryMessage(topic="/odom", timestamp=0.1 * k,
+                                    pose=np.array([0, 0, th], np.float32)))
+    src = sources.OdomSubsamplerSource(
+        sources.ListSource(msgs), translation_step=0.0, rotation_step=0.3
+    )
+    out = list(src)
+    assert 6 <= len(out) <= 8, len(out)
+    dth = np.diff([m.pose[2] for m in out])
+    assert np.all(dth >= 0.3 - 1e-5)
+    # both steps disabled -> pure passthrough
+    src2 = sources.OdomSubsamplerSource(sources.ListSource(msgs))
+    assert len(list(src2)) == len(msgs)
+
+
 def test_platform_source_collects_tf():
     msgs = [
         TransformEventsMessage(topic="/tf", timestamp=0.0, events=[

@@ -88,3 +88,26 @@ def test_edge_residual_zero_at_truth():
     z = g.relative(a, b)
     e = pgo.edge_residual(a, b, z)
     np.testing.assert_allclose(np.asarray(e), np.zeros(3), atol=1e-6)
+
+
+def test_lm_matches_gn_solution():
+    # IterationAlgorithmLM option ("GN/LM or others", config :92): on a
+    # well-conditioned graph LM converges to the same optimum as GN
+    graph, gt, est, n = build_circle_graph()
+    out_gn, chi_gn, _ = pgo.optimize(pgo.PGOConfig(max_iterations=20), graph)
+    out_lm, chi_lm, _ = pgo.optimize(
+        pgo.PGOConfig(max_iterations=40, algorithm="lm"), graph
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lm.poses[:n]), np.asarray(out_gn.poses[:n]), atol=5e-3
+    )
+    assert float(chi_lm) <= float(chi_gn) * 1.1 + 1e-6
+
+
+def test_lm_never_increases_chi():
+    # LM accept/reject: chi after optimization never exceeds the initial chi,
+    # even from a poor initialization where a raw GN step could overshoot
+    graph, gt, est, n = build_circle_graph(noise=0.15, seed=3)
+    chi0 = float(pgo.graph_chi(graph))
+    out, chi, _ = pgo.optimize(pgo.PGOConfig(max_iterations=30, algorithm="lm"), graph)
+    assert float(chi) <= chi0 + 1e-5
