@@ -110,17 +110,15 @@ def run_tpu_bench() -> float:
 
 
 def cpp_baseline() -> float | None:
-    """Build + run the single-core C++ baseline if the toolchain allows."""
+    """Build + run the single-core C++ baseline. Measured FRESH on every
+    bench run so vs_baseline compares numbers from the same host session
+    (BENCH_NOTES.md: host/tunnel throughput varies between sessions); the
+    cache file is only a fallback when the toolchain is unavailable."""
     here = os.path.dirname(os.path.abspath(__file__))
     cache = os.path.join(here, "BASELINE_LOCAL.json")
     src = os.path.join(here, "native", "baseline_icp.cpp")
     exe = os.path.join(here, "native", "baseline_icp")
     try:
-        if os.path.exists(cache):
-            with open(cache) as f:
-                return float(json.load(f)["cpp_scans_per_sec"])
-        if not os.path.exists(src):
-            return None
         if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
@@ -133,7 +131,11 @@ def cpp_baseline() -> float | None:
             json.dump({"cpp_scans_per_sec": val}, f)
         return val
     except Exception:
-        return None
+        try:
+            with open(cache) as f:
+                return float(json.load(f)["cpp_scans_per_sec"])
+        except Exception:
+            return None
 
 
 def main() -> None:

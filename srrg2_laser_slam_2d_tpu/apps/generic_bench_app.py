@@ -31,7 +31,9 @@ def main(argv=None) -> int:
     ap.add_argument("--gt", default=None, help="ground-truth TUM file")
     ap.add_argument("-o", "--output", default=None, help="TUM trajectory output")
     ap.add_argument("-t", "--timing", default=None, help="timing output file")
-    ap.add_argument("--gate", choices=["killian", "simul", "none"], default="none")
+    ap.add_argument(
+        "--gate", choices=["killian", "simul", "corridor", "none"], default="none"
+    )
     ap.add_argument("--max-frames", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -92,11 +94,11 @@ def main(argv=None) -> int:
             f"mean_rotation [ {stats['mean_rotation']:.4f} ] rad"
         )
         if args.gate != "none":
-            thr = (
-                suite_mod.KILLIAN_THRESHOLDS
-                if args.gate == "killian"
-                else suite_mod.SIMUL_THRESHOLDS
-            )
+            thr = {
+                "killian": suite_mod.KILLIAN_THRESHOLDS,
+                "simul": suite_mod.SIMUL_THRESHOLDS,
+                "corridor": suite_mod.CORRIDOR_THRESHOLDS,
+            }[args.gate]
             if bench.is_regression(thr, stats):
                 print("REGRESSION detected")
                 return -1

@@ -24,8 +24,34 @@ from ..io.messages import (
 )
 
 
-def dataset_to_messages(ds: synthetic.SyntheticDataset):
+def noisy_odometry(gt: np.ndarray, trans_noise: float, rot_noise: float, seed: int):
+    """Integrate noisy relative motions: a realistic odometry stream whose
+    drift grows with path length (GT stays separate for the TUM file)."""
+    rng = np.random.default_rng(seed)
+    odom = [gt[0].astype(np.float32).copy()]
+    for t in range(1, len(gt)):
+        c, s = np.cos(gt[t - 1][2]), np.sin(gt[t - 1][2])
+        Rm = np.array([[c, s], [-s, c]], np.float32)
+        rel = np.concatenate(
+            [Rm @ (gt[t][:2] - gt[t - 1][:2]),
+             [np.arctan2(np.sin(gt[t][2] - gt[t - 1][2]),
+                         np.cos(gt[t][2] - gt[t - 1][2]))]]
+        )
+        rel[:2] += rng.normal(scale=trans_noise, size=2)
+        rel[2] += rng.normal(scale=rot_noise)
+        c, s = np.cos(odom[-1][2]), np.sin(odom[-1][2])
+        R = np.array([[c, -s], [s, c]], np.float32)
+        odom.append(
+            np.concatenate(
+                [odom[-1][:2] + R @ rel[:2], [odom[-1][2] + rel[2]]]
+            ).astype(np.float32)
+        )
+    return np.stack(odom)
+
+
+def dataset_to_messages(ds: synthetic.SyntheticDataset, odom_poses=None):
     cfg = ds.config
+    odometry = ds.robot_poses if odom_poses is None else odom_poses
     msgs = []
     seq = 0
     timestamp = 0.0
@@ -83,7 +109,7 @@ def dataset_to_messages(ds: synthetic.SyntheticDataset):
                 seq=seq,
                 timestamp=timestamp,
                 child_frame="base_frame",
-                pose=ds.robot_poses[t],
+                pose=odometry[t],
             )
         )
         seq += 1
@@ -191,15 +217,35 @@ def main(argv=None) -> None:
     ap.add_argument("--beams", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--drift", type=float, nargs=3, default=(0.0, 0.0, 0.0))
+    ap.add_argument(
+        "--world", choices=["random", "corridors"], default="random",
+        help="'corridors' = the Killian-scale 3-loop corridor benchmark world",
+    )
+    ap.add_argument("--odom-noise", type=float, default=None,
+                    help="integrated odometry noise sigma per step [m]")
     args = ap.parse_args(argv)
 
-    ds = synthetic.simulate(
-        synthetic.SyntheticConfig(
-            steps=args.steps, num_beams=args.beams, seed=args.seed,
-            drift=tuple(args.drift),
+    if args.world == "corridors":
+        ccfg = synthetic.CorridorConfig(num_beams=args.beams, seed=args.seed)
+        ds = synthetic.simulate_corridors(ccfg)
+        trans_noise = (
+            args.odom_noise if args.odom_noise is not None else ccfg.odom_trans_noise
         )
-    )
-    logfile.write_jsonl(args.message, dataset_to_messages(ds))
+        odom = noisy_odometry(
+            ds.robot_poses, trans_noise, ccfg.odom_rot_noise, args.seed + 7
+        )
+    else:
+        ds = synthetic.simulate(
+            synthetic.SyntheticConfig(
+                steps=args.steps, num_beams=args.beams, seed=args.seed,
+                drift=tuple(args.drift),
+            )
+        )
+        odom = None
+        if args.odom_noise:
+            odom = noisy_odometry(ds.robot_poses, args.odom_noise,
+                                  args.odom_noise / 4, args.seed + 7)
+    logfile.write_jsonl(args.message, dataset_to_messages(ds, odom_poses=odom))
     print(f"wrote {args.message} ({len(ds.ranges)} scans)")
     if args.gt:
         # laser timestamps: initial cloud at 0, then (tf, laser, odom) per step

@@ -86,15 +86,23 @@ def edge_chi(graph: pgo.PoseGraph) -> float:
 
 
 def run(side: int = 64, gn_iterations: int = 5, cg_iterations: int = 50,
-        reps: int = 3) -> PGOBenchResult:
+        reps: int = 3, large: bool | None = None) -> PGOBenchResult:
     graph = make_grid_graph(side)
-    cfg = cg.CGConfig(gn_iterations=gn_iterations, cg_iterations=cg_iterations)
+    if large is None:
+        large = side * side > 100_000
+    # million-node mode: row-sorted segment-sum scatters + chunked jacfwd
+    order = cg.prepare_edge_order(graph) if large else None
+    cfg = cg.CGConfig(
+        gn_iterations=gn_iterations,
+        cg_iterations=cg_iterations,
+        jac_chunk=131072 if large else 0,
+    )
     chi0 = edge_chi(graph)
-    out, chi, it = cg.optimize_cg(cfg, graph)   # compile + run
+    out, chi, it = cg.optimize_cg(cfg, graph, order)   # compile + run
     jax.block_until_ready(out.poses)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out, chi, it = cg.optimize_cg(cfg, graph)
+        out, chi, it = cg.optimize_cg(cfg, graph, order)
     jax.block_until_ready(out.poses)
     dt = (time.perf_counter() - t0) / reps
     chi1 = edge_chi(out)

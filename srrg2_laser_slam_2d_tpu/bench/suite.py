@@ -30,6 +30,11 @@ class RegressionThresholds:
 
 KILLIAN_THRESHOLDS = RegressionThresholds((25.0, 25.0), (100.0, 100.0), 1.0, 1.0)
 SIMUL_THRESHOLDS = RegressionThresholds((0.1, 0.1), (0.5, 0.5), 1.0, 1.0)
+# the Killian-scale corridor stand-in (bench/synthetic.py simulate_corridors):
+# 2,871 frames / 405 m / 3 large loops — gate at sub-meter ATE (the real
+# Killian gate is 25 m, benchmark_carmen.cpp:15; the synthetic world is
+# cleaner, so the bar is far tighter)
+CORRIDOR_THRESHOLDS = RegressionThresholds((1.0, 1.0), (2.0, 2.0), 0.5, 0.5)
 
 
 @dataclass

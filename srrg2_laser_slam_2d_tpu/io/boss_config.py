@@ -235,10 +235,20 @@ def to_slam_config(g: BossGraph, scene_capacity: int = 8192,
         algo_kind = "gn"
         if algo and "LM" in algo.get("#class", ""):
             algo_kind = "lm"
+        # robustifier policies -> Cauchy threshold on PGO edges
+        # (slam_app.cpp:147-153; RobustifierCauchy default kernel 1.0)
+        chi_thr = 0.0
+        for pol in gs.get("robustifier_policies", []) or []:
+            p = g.deref(pol)
+            if p is None:
+                continue
+            rob = g.deref(p.get("robustifier"))
+            chi_thr = float(rob.get("chi_threshold", 1.0)) if rob else 1.0
         gs_cfg = pgo.PGOConfig(
             max_iterations=int(max_its[0] if isinstance(max_its, list) else max_its),
             epsilon=float(term.get("epsilon", 1e-5)) if term else 1e-5,
             algorithm=algo_kind,
+            chi_threshold=chi_thr,
         )
 
     return slam_mod.GraphSLAMConfig(

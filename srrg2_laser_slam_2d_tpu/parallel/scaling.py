@@ -46,15 +46,103 @@ def measure_pgo_scaling(side: int = 32, device_counts=None, reps: int = 3) -> li
     return results
 
 
+def measure_batch_align_scaling(
+    k_per_device: int = 4, n_points: int = 512, device_counts=None, reps: int = 3
+) -> list[dict]:
+    """Device-parallel loop-closure candidate alignment at 1..N devices
+    (fixed PER-DEVICE batch: measures weak scaling of the detector's
+    batched ICP)."""
+    from ..ops import icp
+    from ..ops.projector import PolarProjection
+    from ..utils import cloud as cloud_op
+    from . import batch_align
+
+    counts = device_counts or [1, 2, 4, len(jax.devices())]
+    counts = sorted({c for c in counts if c <= len(jax.devices())})
+    rng = np.random.default_rng(0)
+    a = (np.arange(n_points) + 0.4) * (2 * np.pi / n_points) - np.pi
+    xy = np.stack([3.0 * np.cos(a), 2.0 * np.sin(a)], 1).astype(np.float32)
+    nrm = -np.stack([np.cos(a) / 3.0, np.sin(a) / 2.0], 1).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    base = cloud_op.from_numpy(xy, nrm)
+    proj = PolarProjection.make(
+        cols=n_points, angle_min=-np.pi, angle_max=np.pi, range_min=0.1, range_max=10.0
+    )
+    acfg = icp.AlignerConfig(max_iterations=10, odom_weight=0.0)
+    results = []
+    for n in counts:
+        k = k_per_device * n
+        fixed = jax.tree.map(lambda x: jnp.stack([x] * k), base)
+        initials = jnp.asarray(rng.normal(scale=0.05, size=(k, 3)).astype(np.float32))
+        mesh = make_mesh(n)
+        from .batch_align import batch_align_sharded
+
+        out = batch_align_sharded(acfg, proj, mesh, fixed, fixed, initials)
+        jax.block_until_ready(out.estimate)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = batch_align_sharded(acfg, proj, mesh, fixed, fixed, initials)
+        jax.block_until_ready(out.estimate)
+        dt = (time.perf_counter() - t0) / reps
+        results.append({"devices": n, "candidates": k, "seconds": dt})
+    base_rate = results[0]["candidates"] / results[0]["seconds"]
+    for r in results:
+        rate = r["candidates"] / r["seconds"]
+        r["speedup"] = rate / base_rate
+        r["efficiency"] = r["speedup"] / r["devices"]
+    return results
+
+
+def measure_schur_scaling(side: int = 24, device_counts=None, reps: int = 3) -> list[dict]:
+    """Schur-partitioned distributed GN at 1..N devices (one partition per
+    device; strong scaling of the separator-reduced solve)."""
+    from ..solver import schur
+
+    counts = device_counts or [1, 2, 4, len(jax.devices())]
+    counts = sorted({c for c in counts if c <= len(jax.devices())})
+    graph = pgo_bench.make_grid_graph(side)
+    n_vars = side * side
+    cfg = pgo.PGOConfig(max_iterations=2)
+    results = []
+    for n in counts:
+        mesh = make_mesh(n)
+        part = schur.partition_graph(graph, n_parts=n, n_vars=n_vars)
+        out, chi, it = schur.optimize_schur_sharded(cfg, graph, part, mesh)
+        jax.block_until_ready(out.poses)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, chi, it = schur.optimize_schur_sharded(cfg, graph, part, mesh)
+        jax.block_until_ready(out.poses)
+        dt = (time.perf_counter() - t0) / reps
+        results.append({"devices": n, "seconds": dt, "chi": float(chi)})
+    base = results[0]["seconds"]
+    for r in results:
+        r["speedup"] = base / r["seconds"]
+        r["efficiency"] = r["speedup"] / r["devices"]
+    return results
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--side", type=int, default=32)
+    ap.add_argument(
+        "--what", choices=["pgo", "align", "schur", "all"], default="pgo"
+    )
     args = ap.parse_args(argv)
-    for r in measure_pgo_scaling(args.side):
-        print(
-            f"devices={r['devices']}: {r['seconds']*1000:.1f} ms "
-            f"speedup={r['speedup']:.2f} efficiency={r['efficiency']:.2f}"
-        )
+    jobs = {
+        "pgo": lambda: measure_pgo_scaling(args.side),
+        "align": measure_batch_align_scaling,
+        "schur": lambda: measure_schur_scaling(min(args.side, 24)),
+    }
+    names = list(jobs) if args.what == "all" else [args.what]
+    for name in names:
+        print(f"== {name} ==")
+        for r in jobs[name]():
+            extra = f" candidates={r['candidates']}" if "candidates" in r else ""
+            print(
+                f"devices={r['devices']}: {r['seconds']*1000:.1f} ms "
+                f"speedup={r['speedup']:.2f} efficiency={r['efficiency']:.2f}{extra}"
+            )
 
 
 if __name__ == "__main__":

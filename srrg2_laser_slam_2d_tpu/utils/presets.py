@@ -203,7 +203,13 @@ def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.Gr
         ),
         validator=lc.ValidatorConfig(),
         relocalizer=lc.RelocalizerConfig(),
-        global_solver=pgo.PGOConfig(max_iterations=20, epsilon=1e-5),
+        # the reference Cauchy-robustifies SE2PosePoseGeodesicErrorFactor in
+        # the global solve (slam_app.cpp:147-153; RobustifierCauchy default
+        # kernel 1.0) — a surviving wrong closure gets down-weighted instead
+        # of bending the whole graph
+        global_solver=pgo.PGOConfig(
+            max_iterations=20, epsilon=1e-5, chi_threshold=1.0
+        ),
     )
 
 

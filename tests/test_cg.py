@@ -86,3 +86,20 @@ def test_cg_scales_to_grid_graph():
     np.testing.assert_allclose(
         np.asarray(out.poses[:v]), np.asarray(dense.poses[:v]), atol=2e-2
     )
+
+
+def test_sorted_order_and_chunked_jacfwd_match_baseline():
+    # the million-node controls (EdgeOrder sorted segment sums + jac_chunk)
+    # must be numerically identical to the plain path
+    from srrg2_laser_slam_2d_tpu.bench import pgo_bench
+
+    graph = pgo_bench.make_grid_graph(8)  # 64 nodes, edge capacity 128
+    cfg0 = cg.CGConfig(gn_iterations=4, cg_iterations=30)
+    ref, chi_ref, _ = cg.optimize_cg(cfg0, graph)
+    order = cg.prepare_edge_order(graph)
+    cfg1 = cg.CGConfig(gn_iterations=4, cg_iterations=30, jac_chunk=32)
+    out, chi, _ = cg.optimize_cg(cfg1, graph, order)
+    np.testing.assert_allclose(
+        np.asarray(out.poses), np.asarray(ref.poses), atol=1e-5
+    )
+    np.testing.assert_allclose(float(chi), float(chi_ref), rtol=1e-5)

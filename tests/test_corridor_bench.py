@@ -1,0 +1,115 @@
+"""Killian-scale corridor benchmark fixtures — the stand-in for the MIT
+Killian Court acceptance dataset (no egress; see BENCH_NOTES.md). Mirrors the
+reference's dataset-tier tests: exact first-scan adapted-point counts
+(test_measurement_adaptor.cpp:70,104) and a dataset-slice tracking run with
+graph-topology checks (test_slam.cpp:65-66). The FULL 2,871-frame gated run
+happens on TPU via generic_bench_app --gate corridor; its recorded results
+live in bench/results/.
+"""
+
+import numpy as np
+import pytest
+
+from srrg2_laser_slam_2d_tpu.bench import synthetic
+from srrg2_laser_slam_2d_tpu.models.preprocessor import (
+    LaserModel,
+    PreprocessorConfig,
+    ScanPreprocessor,
+)
+
+SMALL = synthetic.CorridorConfig(num_beams=361)  # CPU-sized variant
+
+
+@pytest.fixture(scope="module")
+def corridor_slice():
+    """First 160 frames of the (small-beam) corridor dataset."""
+    cfg = SMALL
+    gt = synthetic.corridor_trajectory(cfg)[:160]
+    ds = synthetic.simulate_corridors(cfg, poses=gt)
+    return cfg, ds.ranges, gt
+
+
+def _preprocessor(cfg):
+    pre = ScanPreprocessor(PreprocessorConfig(voxelize_resolution=0.02, normal_window=8))
+    pre.set_model(
+        LaserModel(
+            num_beams=cfg.num_beams,
+            angle_min=cfg.angle_min,
+            angle_max=cfg.angle_max,
+            range_min=cfg.range_min,
+            range_max=cfg.range_max,
+        )
+    )
+    return pre
+
+
+def test_world_has_three_loops_and_killian_scale():
+    cfg = SMALL
+    gt = synthetic.corridor_trajectory(cfg)
+    assert len(gt) >= 2000, "Killian-scale means thousands of frames"
+    path = float(np.sum(np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1)))
+    assert path > 300.0
+    # the drive passes the starting corner at least 4 times (3 loop returns)
+    start = gt[0, :2]
+    near = np.linalg.norm(gt[:, :2] - start, axis=1) < 1.0
+    # count entry events
+    entries = int(np.sum(near[1:] & ~near[:-1])) + int(near[0])
+    assert entries >= 4, entries
+
+
+def test_first_scan_exact_count(corridor_slice):
+    """The reference asserts exact adapted-cloud sizes for the first scan of
+    each dataset (130 Killian / 148 Intel). Same contract for the corridor
+    dataset: deterministic generator -> deterministic count."""
+    cfg, ranges, gt = corridor_slice
+    pre = _preprocessor(cfg)
+    cloud = pre.compute(ranges[0])
+    count = int(cloud.count())
+    # recorded once from the deterministic (seed=0) generator; any change to
+    # the preprocessing/unprojection path that alters it is a parity break
+    assert count == 267, count
+
+
+def test_corridor_slice_tracks(corridor_slice):
+    from srrg2_laser_slam_2d_tpu.apps.synthetic_scene_generator import noisy_odometry
+    from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
+    from srrg2_laser_slam_2d_tpu.models import tracker as tracker_mod
+    from srrg2_laser_slam_2d_tpu.ops import icp
+    from srrg2_laser_slam_2d_tpu.ops.projector import PolarProjection
+
+    cfg, ranges, gt = corridor_slice
+    pre = _preprocessor(cfg)
+    odom = noisy_odometry(gt, cfg.odom_trans_noise, cfg.odom_rot_noise, seed=7)
+    proj = PolarProjection.make(
+        cols=512, angle_min=-np.pi, angle_max=np.pi, range_min=0.1, range_max=20.0
+    )
+    scfg = slam_mod.GraphSLAMConfig(
+        local_map_distance=1.0,
+        var_capacity=64,
+        edge_capacity=128,
+        tracker=tracker_mod.TrackerConfig(
+            scene_capacity=4096, projection=proj,
+            aligner=icp.AlignerConfig(max_iterations=8),
+        ),
+        enable_loop_closure=False,
+        enable_relocalizer=False,
+    )
+    slam = slam_mod.GraphSLAM2D(scfg)
+    for k in range(len(ranges)):
+        slam.process(pre.compute(ranges[k]), odom[k])
+    # 160 frames x 0.15 m = 24 m of travel -> ~24 local maps
+    assert 20 <= slam.num_variables() <= 28, slam.num_variables()
+    # the SLAM world frame anchors at the first pose: put estimates in the GT
+    # frame through gt[0] before comparing
+    import jax.numpy as jnp
+
+    from srrg2_laser_slam_2d_tpu.utils import geometry
+
+    est_w = np.asarray(
+        geometry.compose(jnp.asarray(gt[0]), jnp.asarray(slam.robot_in_world()))
+    )
+    err = est_w - gt[len(ranges) - 1]
+    err[2] = np.arctan2(np.sin(err[2]), np.cos(err[2]))
+    # scan matching must beat raw odometry over the slice
+    odo_err = np.linalg.norm((odom[len(ranges) - 1] - gt[len(ranges) - 1])[:2])
+    assert np.linalg.norm(err[:2]) < min(0.3, odo_err + 0.05), (err, odo_err)
