@@ -35,12 +35,28 @@ def main(argv=None) -> int:
         "--gate", choices=["killian", "simul", "corridor", "none"], default="none"
     )
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint path: save every --checkpoint-every frames; "
+                         "if the file exists, RESUME from it")
+    ap.add_argument("--checkpoint-every", type=int, default=400)
     args = ap.parse_args(argv)
 
     runner = SlamRunner(
         slam_config=presets.laser0_slam(),
         preprocessor_config=presets.laser0_preprocessor(),
     )
+    import os as _os
+
+    resume_n = 0
+    if args.checkpoint:
+        base = args.checkpoint[:-4] if args.checkpoint.endswith(".npz") else args.checkpoint
+        if _os.path.exists(base + ".npz"):
+            from ..utils import checkpoint as ckpt
+
+            resume_n = len(ckpt.trajectory_from(args.checkpoint))
+            runner.skip_frames = resume_n
+            runner.resume_checkpoint = args.checkpoint
+            print(f"resuming from {args.checkpoint} at frame {resume_n}")
 
     gt = None
     if args.carmen:
@@ -57,7 +73,21 @@ def main(argv=None) -> int:
         gt = tum.read_tum(args.gt)
 
     t_start = time.perf_counter()
-    n = runner.run(source, args.max_frames)
+    if args.checkpoint:
+        from ..utils import checkpoint as ckpt
+
+        n = 0
+        for msg in source:
+            if runner.put_message(msg):
+                n += 1
+                if n % args.checkpoint_every == 0:
+                    ckpt.save(args.checkpoint, runner.slam, runner.trajectory)
+                if args.max_frames is not None and n >= args.max_frames:
+                    break
+        if runner.slam is not None:
+            ckpt.save(args.checkpoint, runner.slam, runner.trajectory)
+    else:
+        n = runner.run(source, args.max_frames)
     total_dataset_time = time.perf_counter() - t_start
     summary = runner.timing_summary()
 

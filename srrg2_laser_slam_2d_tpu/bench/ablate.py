@@ -210,6 +210,58 @@ def main() -> None:
         )
         print(f"{'fused frame kernel (grid, no scene)':42s} {dt/nf*1e3:7.3f} ms/frame   {nf/dt:8.0f} scans/s")
 
+        # optimized spec: pre-z-buffered [8, B] measurement canvases packed
+        # outside the loop + narrow banded window
+        import dataclasses as _dc
+
+        spec_c = _dc.replace(spec, meas_as_canvas=True, window=128)
+        measC = ft.pack_measurement_canvas_batch(
+            spec_c, jax.tree.map(lambda x: x[1:], meas_stack), odoms[1:]
+        )
+        fstate_c = ft.seed(
+            spec_c, jax.tree.map(lambda x: x[0], meas_stack),
+            np.array(ds.config.sensor_in_robot, np.float32), odom=odoms[0],
+        )
+
+        def go_canvas():
+            st, stats = ft.track_sequence_fast(spec_c, fstate_c, measC)
+            return st.pose
+
+        dt = _timeit(go_canvas, args.reps)
+        print(f"{'fused frame kernel (canvas+win128)':42s} {dt/nf*1e3:7.3f} ms/frame   {nf/dt:8.0f} scans/s")
+        # same but including the packing step in the timing (end-to-end)
+        def go_canvas_pack():
+            mc = ft.pack_measurement_canvas_batch(
+                spec_c, jax.tree.map(lambda x: x[1:], meas_stack), odoms[1:]
+            )
+            st, stats = ft.track_sequence_fast(spec_c, fstate_c, mc)
+            return st.pose
+
+        dt = _timeit(go_canvas_pack, args.reps)
+        print(f"{'fused frame kernel (canvas+win128+pack)':42s} {dt/nf*1e3:7.3f} ms/frame   {nf/dt:8.0f} scans/s")
+
+        # decompose the in-kernel cost: GN-iteration slope and merge-shift
+        # slope of the grid program (intercept = canvas + merge + pipeline)
+
+        for its in (1, 5, 10, 20):
+            spec_i = _dc.replace(spec, iterations=its)
+            dt = _timeit(
+                lambda: pallas_frame.track_frames_grid(
+                    spec_i, fstate.cacheT, fstate.pose, measF
+                )[1],
+                args.reps,
+            )
+            print(f"{f'grid kernel, {its:2d} GN iters':42s} {dt/nf*1e3:7.3f} ms/frame")
+        for shift in (8, 16, 32, 64):
+            spec_s = _dc.replace(spec, merge_shift=shift)
+            dt = _timeit(
+                lambda: pallas_frame.track_frames_grid(
+                    spec_s, fstate.cacheT, fstate.pose, measF
+                )[1],
+                args.reps,
+            )
+            print(f"{f'grid kernel, merge_shift {shift:3d}':42s} {dt/nf*1e3:7.3f} ms/frame")
+
         # scan floor: trivial per-frame op on the same state pytree
         @jax.jit
         def noop_scan(scene0):

@@ -80,6 +80,50 @@ def pack_measurement_batch(clouds: Cloud, odoms: Array | None = None,
     )(clouds, odoms, odom_valid)
 
 
+def pack_measurement_canvas(spec: FrameSpec, cloud: Cloud, odom=None,
+                            odom_valid=False) -> Array:
+    """Cloud -> [8, B] PRE-z-buffered canvas rows (spec.meas_as_canvas
+    layout): rows 0 depth, 1 x, 2 y, 3 nx, 4 ny, 5 has, 6 lanes 0-3 =
+    [odom x, y, theta, odom_valid], 7 zero. One batched XLA projection
+    OUTSIDE the frame loop replaces the kernel's dense [F, B] z-buffer."""
+    proj = spec.projection
+    canvas = projector_op.project_local(proj, cloud)
+    idx = jnp.maximum(canvas.idx, 0)
+    B = spec.cols_padded
+    rows = jnp.stack(
+        [
+            jnp.where(canvas.valid, canvas.depth, 0.0),
+            cloud.xy[idx, 0], cloud.xy[idx, 1],
+            cloud.normal[idx, 0], cloud.normal[idx, 1],
+            canvas.valid.astype(jnp.float32),
+        ]
+    )
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((2, proj.cols), jnp.float32)], axis=0
+    )
+    pad = B - proj.cols
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    if odom is not None:
+        rows = rows.at[6, 0:3].set(jnp.asarray(odom, jnp.float32))
+        rows = rows.at[6, 3].set(jnp.asarray(odom_valid, jnp.float32))
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def pack_measurement_canvas_batch(spec: FrameSpec, clouds: Cloud,
+                                  odoms: Array | None = None,
+                                  odom_valid: Array | None = None) -> Array:
+    """[T, ...] Cloud stack -> [T, 8, B] canvas rows (one program)."""
+    if odoms is None:
+        return jax.vmap(lambda c: pack_measurement_canvas(spec, c))(clouds)
+    if odom_valid is None:
+        odom_valid = jnp.ones(odoms.shape[0], jnp.float32)
+    return jax.vmap(
+        lambda c, o, v: pack_measurement_canvas(spec, c, o, v)
+    )(clouds, odoms, odom_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def seed(spec: FrameSpec, measurement: Cloud, sensor_in_robot: Array,
          robot_in_local_map: Array | None = None,
@@ -265,11 +309,19 @@ class FastTracker:
                 self.spec, measurement, self.sensor_in_robot, odom=odom
             )
             return None
-        measF = pack_measurement(
-            measurement,
-            odom if odom is not None else np.zeros(3, np.float32),
-            odom is not None,
-        )
+        if self.spec.meas_as_canvas:
+            measF = pack_measurement_canvas(
+                self.spec,
+                measurement,
+                odom if odom is not None else np.zeros(3, np.float32),
+                odom is not None,
+            )
+        else:
+            measF = pack_measurement(
+                measurement,
+                odom if odom is not None else np.zeros(3, np.float32),
+                odom is not None,
+            )
         cacheT, pose, payload = frame_step(
             self.spec, measF, self.state.cacheT, self.state.pose,
             interpret=self._interpret,

@@ -47,6 +47,11 @@ class SlamRunner:
     sensor_frame: str | None = None
     base_frame: str | None = None
     sensor_in_robot: np.ndarray | None = None
+    # resume support: skip the first N laser frames (still feeding TF/odom to
+    # the platform), then restore state from ``resume_checkpoint`` before the
+    # first processed frame — long flaky-device runs restart mid-dataset
+    skip_frames: int = 0
+    resume_checkpoint: str | None = None
 
     def __post_init__(self):
         self.platform = Platform()
@@ -97,6 +102,17 @@ class SlamRunner:
             if laser is None:
                 return False
             cloud = self.preprocessor.process_message(laser)
+        if self.skip_frames > 0:
+            self.skip_frames -= 1
+            if self.skip_frames == 0 and self.resume_checkpoint:
+                from ..utils import checkpoint as ckpt
+
+                slam = self._ensure_slam()
+                ckpt.load(self.resume_checkpoint, slam)
+                self.trajectory = [
+                    (t, p, 0.0) for t, p in ckpt.trajectory_from(self.resume_checkpoint)
+                ]
+            return False
         odom = self.odom_pre.process(msg)
         slam = self._ensure_slam()
         t0 = time.perf_counter()

@@ -118,28 +118,34 @@ def moving_fields(mov, T, proj: PolarProjection):
     return dict(px=px, py=py, nx=nx, ny=ny, d=d, col_i=col_i, okp=okp)
 
 
-def window_start(i: int, cols_padded: int) -> int:
-    return min(max(i * 128 - (WINDOW - 128) // 2, 0), cols_padded - WINDOW)
+def window_start(i: int, cols_padded: int, window: int = WINDOW) -> int:
+    return min(max(i * 128 - (window - 128) // 2, 0), cols_padded - window)
 
 
 def banded_stats(canvasT, f, cols_padded: int, point_distance: float,
-                 normal_cos: float, chi_threshold: float):
+                 normal_cos: float, chi_threshold: float,
+                 window: int = WINDOW):
     """Banded match of transformed moving rows against canvasT + normal-
     equation reduction. ``f`` is moving_fields' output (M = lane count of its
     rows, a multiple of 128; rows are beam-indexed: lane r was beam r).
 
+    ``window`` is the band width in beams (multiple of 128, >= 128): must
+    cover the largest per-iteration beam drift (per-frame motion x angular
+    focal) plus the convergence basin; the [window, 128] hot-matrix build is
+    the banded match's dominant VPU cost, so size it to the platform motion.
+
     Returns [13] sums: h00 h01 h02 h11 h12 h22 b0 b1 b2 n_ok chi_sum
     inl_chi inl_count."""
     m_pad = f["px"].shape[1]
-    win_iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 128), 0)
+    win_iota = jax.lax.broadcasted_iota(jnp.int32, (window, 128), 0)
     acc = jnp.zeros((13, 128), jnp.float32)
     for i in range(m_pad // 128):
         sl = slice(i * 128, (i + 1) * 128)
-        w0 = window_start(i, cols_padded)
+        w0 = window_start(i, cols_padded, window)
         local = f["col_i"][:, sl] - w0                      # [1, 128]
         hot = ((win_iota == local) & f["okp"][:, sl]).astype(jnp.float32)
         gath = jax.lax.dot_general(                         # [8, 128]
-            canvasT[:, w0:w0 + WINDOW], hot,
+            canvasT[:, w0:w0 + window], hot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -75,13 +75,23 @@ class FrameSpec:
     odom_weight: float = 1.0
     merge_threshold: float = 0.2
     # max per-frame beam drift handled by the merge z-buffer (the align band
-    # is WINDOW/2; 32 beams ~ 16 deg of combined per-frame sensor motion)
+    # is window/2; 32 beams ~ 16 deg of combined per-frame sensor motion)
     merge_shift: int = 32
+    # banded-match window width in beams (multiple of 128): the [window, 128]
+    # hot-matrix build dominates the align iteration's VPU cost, so size it
+    # to the platform's per-frame motion + convergence basin
+    window: int = 256
+    # measurement input layout: False = raw [F, 8] point rows (the kernel
+    # z-buffers them densely), True = [8, B] PRE-z-buffered canvas rows from
+    # fast_tracker.pack_measurement_canvas (one batched XLA projection
+    # outside the frame loop) — removes the [F, B] dense compare, the
+    # largest single in-kernel cost
+    meas_as_canvas: bool = False
 
     @property
     def cols_padded(self) -> int:
         c = self.projection.cols
-        return max(((c + 127) // 128) * 128, bk.WINDOW)
+        return max(((c + 127) // 128) * 128, self.window)
 
 
 def _frame_body(spec: FrameSpec, measF, cacheT, pose):
@@ -95,8 +105,12 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
     has_odom = pose[0, 6]
     count = pose[0, 7]
     S = pose[1, 0:3]
-    odom = measF[0:3, 5]
-    ov = measF[3, 5]
+    if spec.meas_as_canvas:
+        odom = measF[6, 0:3]
+        ov = measF[6, 3]
+    else:
+        odom = measF[0:3, 5]
+        ov = measF[3, 5]
 
     # odometry-predicted initial guess / prior: T0 = (D ∘ S)^-1
     use_prior = (has_odom > 0) & (ov > 0)
@@ -104,8 +118,12 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
     T0 = bk.inverse_s(bk.compose_s(D, S))
 
     # measurement canvas (doubles as the aligner's fixed canvas AND the
-    # merger's measurement side)
-    canvasT = bk.build_canvasT(measF, B, proj)
+    # merger's measurement side); pre-z-buffered layout skips the dense
+    # [F, B] in-kernel compare entirely
+    if spec.meas_as_canvas:
+        canvasT = measF
+    else:
+        canvasT = bk.build_canvasT(measF, B, proj)
 
     # moving cloud = cache cells re-framed prev-sensor -> prev-robot
     cS, sS = jnp.cos(S[2]), jnp.sin(S[2])
@@ -125,6 +143,7 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
         s = bk.banded_stats(
             canvasT, bk.moving_fields(mov, T, proj), B,
             spec.point_distance, spec.normal_cos, spec.chi_threshold,
+            window=spec.window,
         )
         sums9 = (s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8])
         if spec.odom_weight > 0:
@@ -146,7 +165,8 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
     # final fields: stats + the transformed cache (cur-sensor frame)
     f = bk.moving_fields(mov, T, proj)
     s = bk.banded_stats(canvasT, f, B, spec.point_distance,
-                        spec.normal_cos, spec.chi_threshold)
+                        spec.normal_cos, spec.chi_threshold,
+                        window=spec.window)
 
     # ---- merge (beam-window lean semantics) ----
     # scene side: z-buffer the transformed cache cells per target beam
@@ -277,8 +297,10 @@ def track_frames_grid(spec: FrameSpec, cacheT: Array, pose: Array,
     grid=(T,): TPU grid steps are sequential; tracker state persists in VMEM
     scratch, measurement blocks stream in and payload blocks stream out
     through the automatic grid pipeline. Returns (cacheT', pose',
-    payloads [T, 8, B])."""
-    T, F, _ = measF_stack.shape
+    payloads [T, 8, B]). measF_stack is [T, F, 8] raw rows or [T, 8, B]
+    pre-z-buffered canvases (spec.meas_as_canvas)."""
+    T = measF_stack.shape[0]
+    meas_blk = (1,) + measF_stack.shape[1:]
     B = spec.cols_padded
 
     def kernel(measF_ref, cache0_ref, pose0_ref,
@@ -305,7 +327,7 @@ def track_frames_grid(spec: FrameSpec, cacheT: Array, pose: Array,
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, F, 8), lambda t: (t, 0, 0),
+            pl.BlockSpec(meas_blk, lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 8), lambda t: (0, 0), memory_space=pltpu.VMEM),

@@ -39,6 +39,8 @@ config_mod.register(
     {
         "max_iterations": "maximum number of iterations of the outer ICP loop",
         "min_num_inliers": "minimum number of inliers",
+        "enable_inlier_only_runs": "additional inlier-only runs if sufficient inliers are available",
+        "keep_only_inlier_correspondences": "final pass drops correspondences whose factors are not inliers",
         "epsilon": "chi2-decay termination ratio (None = run all iterations)",
         "damping": "GN damping factor, the higher the closer to gradient descent",
         "point_distance": "max beam-depth distance between corresponding points",
@@ -67,6 +69,8 @@ config_mod.register(
         "ball_max_range": "SceneClipperBall2D max range [meters]",
         "reuse_clip_canvas": "reuse the merger's canvas as the next clip (fast path)",
         "lean_scene_ops": "beam-window merge via the cached canvas (zero full-scene projections)",
+        "auto_grow_scene": "regrow the scene 2x at a watermark between steps (reference dynamic-resize role)",
+        "grow_watermark": "occupancy fraction that triggers scene regrowth",
     },
 )
 config_mod.register(
@@ -112,6 +116,9 @@ config_mod.register(
         "chi_threshold": "Cauchy robustifier threshold on PGO edges (<=0 disables)",
         "damping": "diagonal damping of the dense solve",
         "anchor_weight": "gauge prior weight on fixed variables",
+        "algorithm": "iteration algorithm: gn | lm (the reference's GN/LM slot)",
+        "lm_lambda_init": "initial LM damping lambda",
+        "lm_lambda_factor": "LM lambda multiplier on reject (divider on accept)",
     },
 )
 config_mod.register(
@@ -131,6 +138,10 @@ config_mod.register(
         "schur_partitions": "partition count of the Schur solver",
         "enable_loop_closure": "toggle loop closing",
         "enable_relocalizer": "toggle relocalization",
+        "enable_closure_merger": "fuse the query map into the candidate map on accepted closures",
+        "closure_merge_max_distance2": "closure merger max squared point distance [m^2]",
+        "closure_merge_target": "closure merger target number of merges",
+        "closure_merge_binning": "closure merger point binning (distribution homogenization)",
         "cue_extrinsics": "per-cue sensor-in-robot poses; enables multi-cue tracking",
         "use_fast_tracker": "track through the fused frame kernel (lazy scene materialization)",
     },

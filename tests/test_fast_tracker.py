@@ -172,3 +172,39 @@ def test_fast_tracker_teleport_guard():
                     odom=np.array([50.0, -30.0, 2.5], np.float32))
     assert float(st[5]) == 0.0  # no inliers
     assert bool(jnp.all(jnp.isfinite(tr.robot_in_local_map)))
+
+
+def test_canvas_layout_and_window_match_default_path():
+    """meas_as_canvas (pre-z-buffered [8, B] measurement rows) and a narrower
+    banded window must be trajectory-equivalent to the default fast path."""
+    import dataclasses
+
+    ds, proj, meas = dataset()
+    base_poses, base_scene, _ = _run_fast(ds, proj, meas, 2048, bulk=False)
+
+    spec = dataclasses.replace(
+        _spec(proj, 2048), meas_as_canvas=True, window=128
+    )
+    tr = ft.FastTracker(spec, sensor_in_robot=np.array(ds.config.sensor_in_robot,
+                                                       np.float32))
+    poses = []
+    for i in range(len(ds.ranges)):
+        m = jax.tree.map(lambda x: x[i], meas)
+        tr.compute(m, odom=ds.robot_poses[i])
+        poses.append(np.asarray(tr.robot_in_local_map))
+    poses = np.stack(poses)
+    assert np.abs(base_poses[:, :2] - poses[:, :2]).max() < 0.02
+    assert np.abs(base_poses[:, 2] - poses[:, 2]).max() < 0.02
+    bc = int(np.asarray(base_scene.count()))
+    cc = int(np.asarray(tr.scene.count()))
+    assert abs(bc - cc) < 0.1 * bc, (bc, cc)
+
+    # bulk grid program accepts the [T, 8, B] layout too
+    m0 = jax.tree.map(lambda x: x[0], meas)
+    state = ft.seed(spec, m0, np.array(ds.config.sensor_in_robot, np.float32),
+                    odom=ds.robot_poses[0])
+    measC = ft.pack_measurement_canvas_batch(
+        spec, jax.tree.map(lambda x: x[1:], meas), jnp.asarray(ds.robot_poses[1:])
+    )
+    state, stats = ft.track_sequence_fast(spec, state, measC)
+    assert np.abs(np.asarray(state.pose[0, 0:3]) - poses[-1]).max() < 1e-4
