@@ -94,7 +94,7 @@ class FrameSpec:
         return max(((c + 127) // 128) * 128, self.window)
 
 
-def _frame_body(spec: FrameSpec, measF, cacheT, pose):
+def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
     """One tracking frame on VMEM values. Returns (cacheT', pose', payload)."""
     proj = spec.projection
     B = spec.cols_padded
@@ -106,8 +106,12 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
     count = pose[0, 7]
     S = pose[1, 0:3]
     if spec.meas_as_canvas:
-        odom = measF[6, 0:3]
-        ov = measF[6, 3]
+        # odom arrives as a separate [8, 8] block (rows 0:3 lane 0 = x, y,
+        # theta, valid): a row-6 lane slice of the canvas (measF[6, 0:3])
+        # trips Mosaic's vector-layout inference on real TPU (sublane-offset
+        # 1D slice), so the XLA wrapper splits it out before the kernel.
+        odom = odomF[0:3, 0]
+        ov = odomF[3, 0]
     else:
         odom = measF[0:3, 5]
         ov = measF[3, 5]
@@ -263,18 +267,40 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose):
     return cacheT_new, pose_new, payload
 
 
+def _split_odom_block(measF: Array) -> Array:
+    """[..., 8, B] canvas rows -> [..., 8, 8] odom block (rows 0:3 lane 0 =
+    x, y, theta, valid), XLA-side (see _frame_body's meas_as_canvas note)."""
+    blk = measF[..., 6, 0:4]                              # [..., 4]
+    out = jnp.zeros(measF.shape[:-2] + (8, 8), jnp.float32)
+    return out.at[..., 0:4, 0].set(blk)
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def frame_step(spec: FrameSpec, measF: Array, cacheT: Array, pose: Array,
                interpret: bool = False):
     """One fused tracking frame. Returns (cacheT', pose', payload)."""
     B = spec.cols_padded
 
-    def kernel(measF_ref, cacheT_ref, pose_ref,
-               out_cache_ref, out_pose_ref, out_payload_ref):
-        c, p, pay = _frame_body(spec, measF_ref[:], cacheT_ref[:], pose_ref[:])
-        out_cache_ref[:] = c
-        out_pose_ref[:] = p
-        out_payload_ref[:] = pay
+    if spec.meas_as_canvas:
+        def kernel(measF_ref, odomF_ref, cacheT_ref, pose_ref,
+                   out_cache_ref, out_pose_ref, out_payload_ref):
+            c, p, pay = _frame_body(spec, measF_ref[:], cacheT_ref[:],
+                                    pose_ref[:], odomF_ref[:])
+            out_cache_ref[:] = c
+            out_pose_ref[:] = p
+            out_payload_ref[:] = pay
+
+        inputs = (measF, _split_odom_block(measF), cacheT, pose)
+    else:
+        def kernel(measF_ref, cacheT_ref, pose_ref,
+                   out_cache_ref, out_pose_ref, out_payload_ref):
+            c, p, pay = _frame_body(spec, measF_ref[:], cacheT_ref[:],
+                                    pose_ref[:])
+            out_cache_ref[:] = c
+            out_pose_ref[:] = p
+            out_payload_ref[:] = pay
+
+        inputs = (measF, cacheT, pose)
 
     return pl.pallas_call(
         kernel,
@@ -283,10 +309,10 @@ def frame_step(spec: FrameSpec, measF: Array, cacheT: Array, pose: Array,
             jax.ShapeDtypeStruct((2, 8), jnp.float32),
             jax.ShapeDtypeStruct((8, B), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
         interpret=interpret,
-    )(measF, cacheT, pose)
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -302,26 +328,58 @@ def track_frames_grid(spec: FrameSpec, cacheT: Array, pose: Array,
     T = measF_stack.shape[0]
     meas_blk = (1,) + measF_stack.shape[1:]
     B = spec.cols_padded
+    canvas_mode = spec.meas_as_canvas
 
-    def kernel(measF_ref, cache0_ref, pose0_ref,
-               out_cache_ref, out_pose_ref, out_payload_ref,
-               cache_s, pose_s):
-        t = pl.program_id(0)
+    if canvas_mode:
+        def kernel(measF_ref, odomF_ref, cache0_ref, pose0_ref,
+                   out_cache_ref, out_pose_ref, out_payload_ref,
+                   cache_s, pose_s):
+            t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _():
-            cache_s[:] = cache0_ref[:]
-            pose_s[:] = pose0_ref[:]
+            @pl.when(t == 0)
+            def _():
+                cache_s[:] = cache0_ref[:]
+                pose_s[:] = pose0_ref[:]
 
-        c, p, pay = _frame_body(spec, measF_ref[0], cache_s[:], pose_s[:])
-        cache_s[:] = c
-        pose_s[:] = p
-        out_payload_ref[0] = pay
+            c, p, pay = _frame_body(spec, measF_ref[0], cache_s[:],
+                                    pose_s[:], odomF_ref[0])
+            cache_s[:] = c
+            pose_s[:] = p
+            out_payload_ref[0] = pay
 
-        @pl.when(t == T - 1)
-        def _():
-            out_cache_ref[:] = c
-            out_pose_ref[:] = p
+            @pl.when(t == T - 1)
+            def _():
+                out_cache_ref[:] = c
+                out_pose_ref[:] = p
+
+        extra_in = [
+            pl.BlockSpec((1, 8, 8), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = (measF_stack, _split_odom_block(measF_stack), cacheT, pose)
+    else:
+        def kernel(measF_ref, cache0_ref, pose0_ref,
+                   out_cache_ref, out_pose_ref, out_payload_ref,
+                   cache_s, pose_s):
+            t = pl.program_id(0)
+
+            @pl.when(t == 0)
+            def _():
+                cache_s[:] = cache0_ref[:]
+                pose_s[:] = pose0_ref[:]
+
+            c, p, pay = _frame_body(spec, measF_ref[0], cache_s[:], pose_s[:])
+            cache_s[:] = c
+            pose_s[:] = p
+            out_payload_ref[0] = pay
+
+            @pl.when(t == T - 1)
+            def _():
+                out_cache_ref[:] = c
+                out_pose_ref[:] = p
+
+        extra_in = []
+        inputs = (measF_stack, cacheT, pose)
 
     out_cache, out_pose, payloads = pl.pallas_call(
         kernel,
@@ -329,6 +387,7 @@ def track_frames_grid(spec: FrameSpec, cacheT: Array, pose: Array,
         in_specs=[
             pl.BlockSpec(meas_blk, lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_in,
             pl.BlockSpec((8, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 8), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -348,5 +407,5 @@ def track_frames_grid(spec: FrameSpec, cacheT: Array, pose: Array,
             pltpu.VMEM((2, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(measF_stack, cacheT, pose)
+    )(*inputs)
     return out_cache, out_pose, payloads
