@@ -13,6 +13,9 @@ import os
 
 
 def main(argv=None) -> None:
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 

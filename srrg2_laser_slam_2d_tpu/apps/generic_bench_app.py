@@ -25,6 +25,9 @@ from ..utils import presets
 
 
 def main(argv=None) -> int:
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--input", default=None)
     ap.add_argument("--carmen", default=None)

@@ -60,6 +60,9 @@ def build_runner(args) -> SlamRunner:
 
 
 def main(argv=None) -> int:
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-c", "--config", default="laser_slam2d.json",
                     help="config file to read/write")

@@ -210,6 +210,9 @@ def dual_dataset_to_messages(
 
 
 def main(argv=None) -> None:
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-m", "--message", default="laser_messages.jsonl")
     ap.add_argument("--gt", default=None, help="ground-truth TUM output")

@@ -147,6 +147,9 @@ STAGES = {
 
 
 def main(argv=None) -> None:
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", default="all", choices=list(STAGES) + ["all"])
     ap.add_argument("--outdir", default=".")

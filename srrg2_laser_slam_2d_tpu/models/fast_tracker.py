@@ -328,7 +328,18 @@ class FastTracker:
         )
         self.state = self.state._replace(cacheT=cacheT, pose=pose)
         self._pending.append(payload)
+        self._last_payload = payload
         return payload[6, :7]  # [T'(3), chi, n_corr, n_inliers, n_app]
+
+    def iteration_stats(self):
+        """Per-GN-iteration [chi, n_inliers] of the last frame ([its, 2]) —
+        the reference aligner's iterationStats() surface, decoded from the
+        payload's spare row (ops/pallas_frame.py payload row 7)."""
+        if getattr(self, "_last_payload", None) is None:
+            return None
+        its = self.spec.iterations
+        row = self._last_payload[7]
+        return jnp.stack([row[0:its], row[64:64 + its]], axis=1)
 
 
 def track_sequence_fast(spec: FrameSpec, state: FastState,

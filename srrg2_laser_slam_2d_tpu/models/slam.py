@@ -68,6 +68,11 @@ class GraphSLAMConfig:
     # one Pallas program per frame, lazy scene materialization at SLAM
     # events). Single-cue only; trajectory-equivalent to the lean path.
     use_fast_tracker: bool = False
+    # fast-tracker measurement layout: True = pre-z-buffered [8, B] canvases
+    # (one batched XLA projection outside the kernel — the fast mode; scene
+    # trajectory-equivalent), False = raw [F, 8] rows z-buffered in-kernel
+    # (bit-identical to the lean XLA path — the parity-oracle mode)
+    fast_canvas_meas: bool = True
 
 
 class GraphSLAM2D:
@@ -96,6 +101,11 @@ class GraphSLAM2D:
                     min_inliers=t.aligner.min_num_inliers,
                     odom_weight=t.aligner.odom_weight,
                     merge_threshold=t.merge_threshold,
+                    # pre-z-buffered measurement canvases: one batched XLA
+                    # projection outside the kernel instead of the dense
+                    # [F, B] in-kernel compare (trajectory-equivalent,
+                    # tests/test_fast_tracker.py canvas-layout test)
+                    meas_as_canvas=cfg.fast_canvas_meas,
                 ),
                 sensor_in_robot,
             )

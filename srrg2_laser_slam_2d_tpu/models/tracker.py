@@ -109,7 +109,11 @@ class TrackStats(NamedTuple):
     chi: Array
     num_correspondences: Array
     num_inliers: Array
+    chi_inliers: Array         # [] mean chi over inliers (final pass)
     iterations: Array
+    # the reference aligner's iterationStats(): per-GN-iteration
+    # [chi, n_corr, n_inliers, chi_inl_mean] at each linearization point
+    iter_stats: Array          # [max_iterations, 4]
     # status surface (utils/status.py; the reference's per-stage _status):
     # aligner SUCCESS iff it reached min_num_inliers actual inliers
     status: Array              # [] int32 Status code
@@ -217,14 +221,20 @@ def track_step_impl(
             odom_weight=a.odom_weight,
             interpret=jax.default_backend() == "cpu",
         )
+        # per-iteration stats come straight out of the kernel (spare output
+        # lanes) — same [chi, n_corr, n_inliers, chi_inl_mean] rows as
+        # icp.align's stats (the reference's iterationStats() surface)
+        it_stats = fres.iter_stats.at[:, 3].set(
+            fres.iter_stats[:, 3] / jnp.maximum(fres.iter_stats[:, 2], 1.0)
+        )
         res = icp.AlignResult(
             estimate=fres.estimate,
             chi=fres.chi,
             num_correspondences=fres.num_corr.astype(jnp.int32),
             num_inliers=fres.num_inliers.astype(jnp.int32),
-            chi_inliers=fres.chi / jnp.maximum(fres.num_inliers, 1.0),
+            chi_inliers=fres.chi_inl_sum / jnp.maximum(fres.num_inliers, 1.0),
             iterations=jnp.int32(a.max_iterations),
-            stats=jnp.zeros((a.max_iterations, 4), jnp.float32),
+            stats=it_stats,
         )
     else:
         res = icp.align(
@@ -311,7 +321,9 @@ def track_step_impl(
         chi=res.chi,
         num_correspondences=res.num_correspondences,
         num_inliers=res.num_inliers,
+        chi_inliers=res.chi_inliers,
         iterations=res.iterations,
+        iter_stats=res.stats,
         status=jnp.where(
             res.num_inliers >= cfg.aligner.min_num_inliers, jnp.int32(2), jnp.int32(0)
         ),
@@ -383,7 +395,9 @@ def track_step_multi_impl(
         chi=res.chi,
         num_correspondences=res.num_correspondences,
         num_inliers=res.num_inliers,
+        chi_inliers=res.chi_inliers,
         iterations=res.iterations,
+        iter_stats=res.stats,
         status=jnp.where(
             res.num_inliers >= cfg.aligner.min_num_inliers, jnp.int32(2), jnp.int32(0)
         ),

@@ -59,7 +59,8 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(m_pad: int, cols_padded: int, iterations: int,
                  proj: PolarProjection, point_distance: float, normal_cos: float,
                  chi_threshold: float, min_inliers: int, odom_weight: float):
-    def kernel(fgeo_ref, mgeoT_ref, t0_ref, prior_ref, out_t_ref, out_stats_ref):
+    def kernel(fgeo_ref, mgeoT_ref, t0_ref, prior_ref, out_t_ref, out_stats_ref,
+               out_iters_ref):
         # fixed canvas once (dense z-buffer: the measurement is not
         # beam-indexed, so no band assumption on this side)
         canvasT = bk.build_canvasT(fgeo_ref[:], cols_padded, proj)
@@ -74,8 +75,14 @@ def _make_kernel(m_pad: int, cols_padded: int, iterations: int,
             return bk.banded_stats(canvasT, f, cols_padded, point_distance,
                                    normal_cos, chi_threshold)
 
-        def gn_iter(_, T):
+        it_lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+
+        def gn_iter(i, carry):
+            T, iters_acc = carry
             s = moving_pass(T)
+            # iterationStats record at this linearization point
+            rec = jnp.stack([s[10], s[9], s[12], s[11]])
+            iters_acc = jnp.where(it_lane == i, rec[:, None], iters_acc)
             sums9 = (s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8])
             if odom_weight > 0:
                 sums9 = bk.add_odom_prior(sums9, T, prior, odom_weight)
@@ -89,13 +96,17 @@ def _make_kernel(m_pad: int, cols_padded: int, iterations: int,
                     jnp.where(guard, dx2, 0.0),
                 ]
             )
-            return _compose(dx, T)
+            return _compose(dx, T), iters_acc
 
-        T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
+        T, iters_acc = jax.lax.fori_loop(
+            0, iterations, gn_iter,
+            (t0_ref[0, :], jnp.zeros((4, 128), jnp.float32)),
+        )
+        out_iters_ref[:] = iters_acc
 
         s = moving_pass(T)
         out_t_ref[0, :] = T
-        # [chi_total, num_corr, num_inliers, chi_inliers]
+        # [chi_total, num_corr, num_inliers, chi_inl_sum]
         out_stats_ref[0, :] = jnp.stack([s[10], s[9], s[12], s[11]])
 
     return kernel
@@ -145,8 +156,10 @@ def fused_projective_align_banded(
     mgeo = _pack(moving_xy, moving_normal, moving_valid)
     if pad:
         mgeo = jnp.pad(mgeo, ((0, pad), (0, 0)))
+    if iterations > 128:
+        raise ValueError("iterationStats record supports <= 128 iterations")
     prior = initial if odom_prior is None else odom_prior
-    out_t, out_stats = pl.pallas_call(
+    out_t, out_stats, out_iters = pl.pallas_call(
         _make_kernel(
             m_pad, cols_padded, iterations, proj,
             float(point_distance), float(normal_cos), float(chi_threshold),
@@ -155,9 +168,11 @@ def fused_projective_align_banded(
         out_shape=(
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, 128), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -173,4 +188,6 @@ def fused_projective_align_banded(
         chi=out_stats[0, 0],
         num_corr=out_stats[0, 1],
         num_inliers=out_stats[0, 2],
+        chi_inl_sum=out_stats[0, 3],
+        iter_stats=out_iters[:, :iterations].T,
     )

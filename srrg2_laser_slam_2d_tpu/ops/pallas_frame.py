@@ -34,12 +34,23 @@ State layout (all float32):
       2 nx, 3 ny, 4 valid, 5 scene row (-1 none), 6-7 zero.
   pose [2, 8]: row 0 = [X (robot-in-local-map) 0:3, last_odom 3:6,
       has_odom 6, scene count 7]; row 1 = [sensor_in_robot 0:3, ...].
-Per-frame IO:
-  measF [F, 8]: measurement rows (x, y, nx, ny, valid, aux, 0, 0) where
-      column 5 rows 0-3 carry [odom x, odom y, odom theta, odom_valid].
+Per-frame IO (two measurement layouts, selected by spec.meas_as_canvas):
+  measF [F, 8] (meas_as_canvas=False): raw measurement point rows
+      (x, y, nx, ny, valid, aux, 0, 0) where column 5 rows 0-3 carry
+      [odom x, odom y, odom theta, odom_valid]; the kernel z-buffers them
+      into a beam canvas densely ([F, B] compare).
+  measF [8, B] (meas_as_canvas=True): PRE-z-buffered canvas rows from
+      fast_tracker.pack_measurement_canvas — row 0 depth, 1 x, 2 y, 3 nx,
+      4 ny, 5 has, 6 lanes 0-3 = [odom x, odom y, odom theta, odom_valid],
+      7 zero. The odometry is split OUT of row 6 XLA-side
+      (_split_odom_block) and enters the kernel as a separate odomF [8, 8]
+      block (rows 0:3 lane 0 = x, y, theta, valid) so the canvas block
+      itself stays pure measurement data in the grid pipeline.
   payload [8, B]: rows 0-3 scene-frame (x, y, nx, ny), 4 target scene row,
       5 kind (0 none / 1 modify / 2 append), row 6 lanes 0-6 = stats
-      [estimate T' 0:3, chi, n_corr, n_inliers, n_app], row 7 zero.
+      [estimate T' 0:3, chi, n_corr, n_inliers, n_app], row 7 = per-GN-
+      iteration record (iterationStats surface): lanes [0:its] chi,
+      lanes [64:64+its] inlier count (its = spec.iterations <= 64).
 """
 
 from __future__ import annotations
@@ -96,6 +107,8 @@ class FrameSpec:
 
 def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
     """One tracking frame on VMEM values. Returns (cacheT', pose', payload)."""
+    if spec.iterations > 64:
+        raise ValueError("payload iterationStats row supports <= 64 iterations")
     proj = spec.projection
     B = spec.cols_padded
     cap = float(spec.scene_capacity)
@@ -143,12 +156,19 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
     )
 
     # ---- banded GN alignment (MultiAligner2D inner loop) ----
-    def gn_iter(_, T):
+    # per-iteration chi/inliers are recorded into a spare payload row
+    # (iterationStats surface): lanes [0:its] = chi, [64:64+its] = inliers
+    it_lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    def gn_iter(i, carry):
+        T, iter_row = carry
         s = bk.banded_stats(
             canvasT, bk.moving_fields(mov, T, proj), B,
             spec.point_distance, spec.normal_cos, spec.chi_threshold,
             window=spec.window,
         )
+        iter_row = jnp.where(it_lane == i, s[10], iter_row)
+        iter_row = jnp.where(it_lane == 64 + i, s[12], iter_row)
         sums9 = (s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7], s[8])
         if spec.odom_weight > 0:
             sums9 = bk.add_odom_prior(sums9, T, T0, spec.odom_weight)
@@ -162,9 +182,12 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
                 jnp.where(guard, dx2, 0.0),
             ]
         )
-        return _compose(dx, T)
+        return _compose(dx, T), iter_row
 
-    T = jax.lax.fori_loop(0, spec.iterations, gn_iter, T0)
+    T, iter_row = jax.lax.fori_loop(
+        0, spec.iterations, gn_iter,
+        (T0, jnp.zeros((1, B), jnp.float32)),
+    )
 
     # final fields: stats + the transformed cache (cur-sensor frame)
     f = bk.moving_fields(mov, T, proj)
@@ -237,8 +260,7 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
         stats_row = jnp.where(lane == k, stats_vals[k], stats_row)
 
     payload = jnp.concatenate(
-        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row,
-         jnp.zeros((1, B), jnp.float32)],
+        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row, iter_row],
         axis=0,
     )
 

@@ -38,6 +38,11 @@ class ProjAlignResult(NamedTuple):
     chi: Array          # []
     num_corr: Array     # [] float32
     num_inliers: Array  # [] float32
+    chi_inl_sum: Array  # [] sum of chi over inliers (final pass)
+    # per-GN-iteration record, evaluated at each iteration's linearization
+    # point — the reference aligner's iterationStats() surface
+    # (visual_test_aligner_2d.cpp:156)
+    iter_stats: Array   # [iterations, 4]: chi, n_corr, n_inliers, chi_inl_sum
 
 
 def _compose(a, b):
@@ -100,7 +105,8 @@ def _make_kernel(n_fixed: int, n_moving: int, cols_padded: int, iterations: int,
         onehot = is_min.astype(jnp.float32) / cnt[None, :]
         return bmin, onehot
 
-    def kernel(fgeo_ref, mgeo_ref, t0_ref, prior_ref, out_t_ref, out_stats_ref):
+    def kernel(fgeo_ref, mgeo_ref, t0_ref, prior_ref, out_t_ref, out_stats_ref,
+               out_iters_ref):
         # fgeo: [F, 8] = (x, y, nx, ny, valid, 0, 0, 0) — fixed cloud (sensor frame)
         # mgeo: [M, 8] — moving cloud (its own frame)
         beam_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols_padded), 1)
@@ -130,8 +136,10 @@ def _make_kernel(n_fixed: int, n_moving: int, cols_padded: int, iterations: int,
         f_has = jnp.sum(fhot, axis=0) > 0                        # [B]
 
         prior = prior_ref[0, :]
+        it_lane = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
 
-        def gn_iter(_, T):
+        def gn_iter(i, carry):
+            T, iters_acc = carry
             c, s = jnp.cos(T[2]), jnp.sin(T[2])
             px = c * mx0 - s * my0 + T[0]
             py = s * mx0 + c * my0 + T[1]
@@ -191,6 +199,20 @@ def _make_kernel(n_fixed: int, n_moving: int, cols_padded: int, iterations: int,
                 b0, b1, b2 = b0p, b1p, b2p
 
             n_ok = jnp.sum(ok.astype(jnp.float32))
+            # iterationStats record at this linearization point (lane i of
+            # rows chi / n_corr / n_inliers / chi_inl_sum)
+            chi_ok = jnp.where(ok, chi, 0.0)
+            thr_i = chi_threshold if chi_threshold > 0 else _BIG
+            inl_i = ok & (chi < thr_i)
+            rec = jnp.stack(
+                [
+                    jnp.sum(chi_ok),
+                    n_ok,
+                    jnp.sum(inl_i.astype(jnp.float32)),
+                    jnp.sum(jnp.where(inl_i, chi, 0.0)),
+                ]
+            )
+            iters_acc = jnp.where(it_lane == i, rec[:, None], iters_acc)
             dx0, dx1, dx2 = _solve3_sym(h00, h01, h02, h11, h12, h22, -b0, -b1, -b2)
             guard = n_ok >= min_inliers
             dx = jnp.stack(
@@ -200,9 +222,13 @@ def _make_kernel(n_fixed: int, n_moving: int, cols_padded: int, iterations: int,
                     jnp.where(guard, dx2, 0.0),
                 ]
             )
-            return _compose(dx, T)
+            return _compose(dx, T), iters_acc
 
-        T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
+        T, iters_acc = jax.lax.fori_loop(
+            0, iterations, gn_iter,
+            (t0_ref[0, :], jnp.zeros((4, 128), jnp.float32)),
+        )
+        out_iters_ref[:] = iters_acc
 
         # final stats
         c, s = jnp.cos(T[2]), jnp.sin(T[2])
@@ -270,9 +296,11 @@ def fused_projective_align(
 ) -> ProjAlignResult:
     """Whole projective alignment as one kernel. ``initial`` is moving-in-
     fixed; fixed cloud must be in the (identity-camera) fixed frame."""
+    if iterations > 128:
+        raise ValueError("iterationStats record supports <= 128 iterations")
     cols_padded = _round_up(proj.cols, 128)
     prior = initial if odom_prior is None else odom_prior
-    out_t, out_stats = pl.pallas_call(
+    out_t, out_stats, out_iters = pl.pallas_call(
         _make_kernel(
             fixed_xy.shape[0], moving_xy.shape[0], cols_padded, iterations, proj,
             float(point_distance), float(normal_cos), float(chi_threshold),
@@ -281,9 +309,11 @@ def fused_projective_align(
         out_shape=(
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, 128), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -299,4 +329,6 @@ def fused_projective_align(
         chi=out_stats[0, 0],
         num_corr=out_stats[0, 1],
         num_inliers=out_stats[0, 2],
+        chi_inl_sum=out_stats[0, 3],
+        iter_stats=out_iters[:, :iterations].T,
     )

@@ -26,7 +26,8 @@ Layouts (all float32):
   odomB [K, 8]: lanes 0:3 = odom x, y, theta, valid.
   payloads [T, 8, K, B]: per frame per stream — rows 0-3 scene-frame
       (x, y, nx, ny), 4 target scene row, 5 kind (0/1 modify/2 append),
-      row 6 lanes 0-6 = [T'(3), chi, n_corr, n_inliers, n_app], row 7 zero.
+      row 6 lanes 0-6 = [T'(3), chi, n_corr, n_inliers, n_app], row 7 =
+      per-GN-iteration record: lanes [0:its] chi, [64:64+its] inliers.
 
 Measurement input is the PRE-z-buffered canvas layout only (the
 ``meas_as_canvas`` mode of the single-stream kernel): rows 0 depth, 1-4
@@ -277,9 +278,17 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
            cS * cnx - sS * cny, sS * cnx + cS * cny, cval)
 
     # ---- banded GN alignment ----
-    def gn_iter(_, Tst):
+    # per-iteration chi/inliers recorded into the spare payload row
+    # (iterationStats surface; same lanes as the single-stream kernel)
+    K = poseB.shape[0]
+    it_lane = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
+
+    def gn_iter(i, carry):
+        Tst, iter_row = carry
         T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
         s = _banded_stats_b(measCk, _moving_fields_b(mov, T, proj), spec)
+        iter_row = jnp.where(it_lane == i, s[10], iter_row)
+        iter_row = jnp.where(it_lane == 64 + i, s[12], iter_row)
         sums9 = tuple(s[:9])
         if spec.odom_weight > 0:
             sums9 = _add_odom_prior_b(sums9, T, T0, spec.odom_weight)
@@ -290,10 +299,13 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
         dx = (jnp.where(guard, dx0, 0.0), jnp.where(guard, dx1, 0.0),
               jnp.where(guard, dx2, 0.0))
         Tn = _compose_b(dx, T)
-        return jnp.concatenate(Tn, axis=1)
+        return jnp.concatenate(Tn, axis=1), iter_row
 
     T0st = jnp.concatenate(T0, axis=1)                       # [K, 3]
-    Tst = jax.lax.fori_loop(0, spec.iterations, gn_iter, T0st)
+    Tst, iter_row = jax.lax.fori_loop(
+        0, spec.iterations, gn_iter,
+        (T0st, jnp.zeros((K, B), jnp.float32)),
+    )
     T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
 
     # final fields: stats + the transformed cache (cur-sensor frame)
@@ -348,7 +360,6 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
     pay_ny = sM * upd_nx + cM * upd_ny
 
     # stats row: [T'(3), chi, n_corr, n_inliers, n_app] in lanes 0-6
-    K = poseB.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
     n_app_ok = jnp.sum(app_ok.astype(jnp.float32), axis=1, keepdims=True)
     stats_vals = (T[0], T[1], T[2], s[10], s[9], s[12], n_app_ok)
@@ -357,8 +368,7 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
         stats_row = jnp.where(lane == k, v, stats_row)
 
     payload = jnp.stack(
-        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row,
-         jnp.zeros((K, B), jnp.float32)],
+        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row, iter_row],
         axis=0,
     )
 

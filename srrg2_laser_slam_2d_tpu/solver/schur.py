@@ -40,10 +40,14 @@ class Partitioning(NamedTuple):
 
     interior_idx: [P, I] global var index per interior slot (pad: var_capacity)
     separator_idx: [S] global var index per separator slot (pad: var_capacity)
-    edge_part: [E] partition owning each edge (cross edges go to one side)
-    # per-edge local addressing:
+    edge_part: [E] partition owning each edge (cross edges touch only
+        separator variables, so either side works)
     ei_local: [E] local slot of endpoint i: 0..I-1 interior, I..I+S-1 separator
     ej_local: [E] same for endpoint j
+    edge_perm: [P, Ep] edge indices owned by each partition, padded — the
+        per-partition CONTIGUOUS edge slices that make the device work
+        O(E/P) per partition instead of O(E)-masked (round-2 review item)
+    edge_mask: [P, Ep] validity of edge_perm entries
     """
 
     interior_idx: Array
@@ -51,6 +55,8 @@ class Partitioning(NamedTuple):
     edge_part: Array
     ei_local: Array
     ej_local: Array
+    edge_perm: Array
+    edge_mask: Array
 
     @property
     def n_parts(self) -> int:
@@ -64,13 +70,23 @@ class Partitioning(NamedTuple):
     def separator_cap(self) -> int:
         return self.separator_idx.shape[0]
 
+    @property
+    def edges_per_part(self) -> int:
+        return self.edge_perm.shape[1]
+
+
+def _pow2(n: int) -> int:
+    return max(8, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
 
 def partition_graph(graph: PoseGraph, n_parts: int,
                     n_vars: int | None = None, n_edges: int | None = None
                     ) -> Partitioning:
     """Index-range partitioning (local maps are created in trajectory order,
     so contiguous ranges are spatially coherent); separator = every variable
-    touched by a cross-partition edge."""
+    touched by a cross-partition edge. Fully vectorized host pass: O(V + E)
+    time / memory (no [P, V] tables), so million-node graphs partition in
+    milliseconds."""
     v_cap = graph.var_capacity
     ei = np.asarray(graph.edge_i)
     ej = np.asarray(graph.edge_j)
@@ -88,62 +104,54 @@ def partition_graph(graph: PoseGraph, n_parts: int,
     is_sep |= np.asarray(graph.var_fixed) & vv
 
     sep_list = np.where(is_sep & vv)[0]
-    s_cap = max(8, 1 << int(np.ceil(np.log2(max(len(sep_list), 1)))))
-    interior_lists = []
-    for p in range(n_parts):
-        ids = np.where((part_of == p) & vv & ~is_sep)[0]
-        interior_lists.append(ids)
-    i_cap = max(8, 1 << int(np.ceil(np.log2(max(max(len(x) for x in interior_lists), 1)))))
+    s_cap = _pow2(len(sep_list))
+    sep_slot = np.full(v_cap, -1, np.int64)
+    sep_slot[sep_list] = np.arange(len(sep_list))
+
+    # interior rank of each variable within its own partition (vectorized:
+    # interiors are index-sorted, so rank = position - partition start)
+    int_ids = np.where(vv & ~is_sep)[0]                     # sorted
+    int_parts = part_of[int_ids]
+    part_counts = np.bincount(int_parts, minlength=n_parts)
+    part_starts = np.concatenate([[0], np.cumsum(part_counts)[:-1]])
+    int_rank = np.full(v_cap, -1, np.int64)
+    int_rank[int_ids] = np.arange(len(int_ids)) - part_starts[int_parts]
+    i_cap = _pow2(int(part_counts.max()) if len(int_ids) else 1)
 
     interior_idx = np.full((n_parts, i_cap), v_cap, np.int32)
-    for p, ids in enumerate(interior_lists):
-        interior_idx[p, : len(ids)] = ids
+    interior_idx[int_parts, int_rank[int_ids]] = int_ids
     separator_idx = np.full(s_cap, v_cap, np.int32)
     separator_idx[: len(sep_list)] = sep_list
 
-    # local slot of every global var within each partition's [I + S] frame
-    local_slot = np.full((n_parts, v_cap + 1), -1, np.int32)
-    for p in range(n_parts):
-        local_slot[p, interior_idx[p, interior_idx[p] < v_cap]] = np.arange(
-            (interior_idx[p] < v_cap).sum()
-        )
-    for s_slot, gid in enumerate(sep_list):
-        local_slot[:, gid] = np.where(
-            local_slot[:, gid] >= 0, local_slot[:, gid], i_cap + s_slot
-        )
-        # separator slots are shared by all partitions
-        local_slot[:, gid] = i_cap + s_slot
+    # edge ownership: partition of endpoint i. A cross-partition edge has
+    # BOTH endpoints in the separator (by construction above), so every edge's
+    # endpoints are addressable in its owner's [interior_p ++ separator] frame.
+    edge_part = np.where(ev, part_of[ei], 0).astype(np.int64)
+    ei_local = np.where(is_sep[ei], i_cap + sep_slot[ei], int_rank[ei])
+    ej_local = np.where(is_sep[ej], i_cap + sep_slot[ej], int_rank[ej])
+    ei_local = np.where(ev, ei_local, 0).astype(np.int32)
+    ej_local = np.where(ev, ej_local, 0).astype(np.int32)
 
-    edge_part = np.where(ev, part_of[ei], 0)
-    # cross edges: assign to the partition of endpoint i (its interior side
-    # if any; both-separator edges can go anywhere — they only touch H_ss)
-    ei_local = np.zeros(len(ei), np.int32)
-    ej_local = np.zeros(len(ej), np.int32)
-    for e in range(len(ei)):
-        if not ev[e]:
-            continue
-        p = edge_part[e]
-        li = local_slot[p, ei[e]]
-        lj = local_slot[p, ej[e]]
-        if li < 0 or lj < 0:
-            # endpoint interior to the OTHER partition: move edge there
-            p2 = part_of[ej[e]]
-            li2 = local_slot[p2, ei[e]]
-            lj2 = local_slot[p2, ej[e]]
-            if li2 >= 0 and lj2 >= 0:
-                edge_part[e] = p2
-                li, lj = li2, lj2
-            else:
-                raise ValueError(f"edge {e} endpoints not co-addressable")
-        ei_local[e] = li
-        ej_local[e] = lj
+    # per-partition contiguous edge slices (stable sort by owner)
+    valid_e = np.where(ev)[0]
+    order = valid_e[np.argsort(edge_part[valid_e], kind="stable")]
+    counts_e = np.bincount(edge_part[valid_e], minlength=n_parts)
+    starts_e = np.concatenate([[0], np.cumsum(counts_e)[:-1]])
+    ep_cap = _pow2(int(counts_e.max()) if len(valid_e) else 1)
+    edge_perm = np.zeros((n_parts, ep_cap), np.int32)
+    edge_mask = np.zeros((n_parts, ep_cap), bool)
+    ranks = np.arange(len(order)) - starts_e[edge_part[order]]
+    edge_perm[edge_part[order], ranks] = order
+    edge_mask[edge_part[order], ranks] = True
 
     return Partitioning(
         interior_idx=jnp.asarray(interior_idx),
         separator_idx=jnp.asarray(separator_idx),
-        edge_part=jnp.asarray(edge_part),
+        edge_part=jnp.asarray(edge_part.astype(np.int32)),
         ei_local=jnp.asarray(ei_local),
         ej_local=jnp.asarray(ej_local),
+        edge_perm=jnp.asarray(edge_perm),
+        edge_mask=jnp.asarray(edge_mask),
     )
 
 
@@ -225,38 +233,44 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
 
 def _partition_systems(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
                        poses, part_ids):
-    """Dense local systems for a batch of partitions (vmapped)."""
+    """Dense local systems for a batch of partitions (vmapped).
+
+    O(E/P) per partition: each partition gathers ONLY its own contiguous
+    edge slice (part.edge_perm) and linearizes those — no masked all-edge
+    einsums (the round-1/2 review's Schur memory/work finding)."""
     v_cap = graph.var_capacity
     I, S = part.interior_cap, part.separator_cap
     anchor = jnp.where(
         graph.var_fixed | ~graph.var_valid, cfg.anchor_weight, cfg.damping
     )
-    xi = poses[graph.edge_i]
-    xj = poses[graph.edge_j]
-    e = _edge_res(xi, xj, graph.edge_meas)
-    Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, graph.edge_meas)
-    omega = graph.edge_info
-    chi_e = jnp.sum(e * e * omega, axis=-1)
-    if cfg.chi_threshold > 0:
-        w = jnp.where(chi_e < cfg.chi_threshold,
-                      1.0, cfg.chi_threshold / jnp.maximum(chi_e, 1e-20))
-    else:
-        w = jnp.ones_like(chi_e)
-    w = jnp.where(graph.edge_valid, w, 0.0)
-    wo = w[:, None] * omega
 
     def build_partition(p):
-        mine = (part.edge_part == p) & graph.edge_valid
-        m = mine.astype(jnp.float32)[:, None]
+        perm = part.edge_perm[p]                             # [Ep]
+        valid = part.edge_mask[p] & graph.edge_valid[perm]
+        xi = poses[graph.edge_i[perm]]
+        xj = poses[graph.edge_j[perm]]
+        meas = graph.edge_meas[perm]
+        omega = graph.edge_info[perm]
+        e = _edge_res(xi, xj, meas)
+        Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, meas)
+        chi_e = jnp.sum(e * e * omega, axis=-1)
+        if cfg.chi_threshold > 0:
+            w = jnp.where(chi_e < cfg.chi_threshold,
+                          1.0, cfg.chi_threshold / jnp.maximum(chi_e, 1e-20))
+        else:
+            w = jnp.ones_like(chi_e)
+        w = jnp.where(valid, w, 0.0)
+        wo = w[:, None] * omega
+
         n_loc = I + S
         H = jnp.zeros((n_loc, 3, n_loc, 3), jnp.float32)
         b = jnp.zeros((n_loc, 3), jnp.float32)
-        Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Ji)
-        Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo * m, Jj)
-        Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Jj)
-        bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo * m, e)
-        bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo * m, e)
-        li, lj = part.ei_local, part.ej_local
+        Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo, Ji)
+        Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo, Jj)
+        Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo, Jj)
+        bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo, e)
+        bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo, e)
+        li, lj = part.ei_local[perm], part.ej_local[perm]
         H = H.at[li, :, li, :].add(Hii_e)
         H = H.at[lj, :, lj, :].add(Hjj_e)
         H = H.at[li, :, lj, :].add(Hij_e)
@@ -271,7 +285,7 @@ def _partition_systems(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
         diag_add = jnp.where(invalid_slot, cfg.anchor_weight, own_anchor * scale)
         slots = jnp.arange(n_loc)
         H = H.at[slots, :, slots, :].add(diag_add[:, None, None] * jnp.eye(3)[None])
-        chi_mine = jnp.sum(jnp.where(mine, chi_e, 0.0))
+        chi_mine = jnp.sum(jnp.where(valid, chi_e, 0.0))
         return H.reshape(3 * n_loc, 3 * n_loc), b.reshape(3 * n_loc), chi_mine
 
     return jax.vmap(build_partition)(part_ids)
@@ -288,63 +302,10 @@ def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
     S = part.separator_cap
     d_i, d_s = 3 * I, 3 * S
 
-    anchor = jnp.where(
-        graph.var_fixed | ~graph.var_valid, cfg.anchor_weight, cfg.damping
-    )
-
     def gn_step(poses):
-        xi = poses[graph.edge_i]
-        xj = poses[graph.edge_j]
-        e = _edge_res(xi, xj, graph.edge_meas)
-        Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, graph.edge_meas)
-        omega = graph.edge_info
-        chi_e = jnp.sum(e * e * omega, axis=-1)
-        if cfg.chi_threshold > 0:
-            w = jnp.where(chi_e < cfg.chi_threshold,
-                          1.0, cfg.chi_threshold / jnp.maximum(chi_e, 1e-20))
-        else:
-            w = jnp.ones_like(chi_e)
-        w = jnp.where(graph.edge_valid, w, 0.0)
-        wo = w[:, None] * omega
-        chi = jnp.sum(jnp.where(graph.edge_valid, chi_e, 0.0))
-
-        def build_partition(p):
-            """Dense local system over [interior_p ++ separator] slots."""
-            mine = (part.edge_part == p) & graph.edge_valid
-            m = mine.astype(jnp.float32)[:, None]
-            n_loc = I + S
-            H = jnp.zeros((n_loc, 3, n_loc, 3), jnp.float32)
-            b = jnp.zeros((n_loc, 3), jnp.float32)
-            Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Ji)
-            Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo * m, Jj)
-            Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo * m, Jj)
-            bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo * m, e)
-            bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo * m, e)
-            li, lj = part.ei_local, part.ej_local
-            H = H.at[li, :, li, :].add(Hii_e)
-            H = H.at[lj, :, lj, :].add(Hjj_e)
-            H = H.at[li, :, lj, :].add(Hij_e)
-            H = H.at[lj, :, li, :].add(jnp.swapaxes(Hij_e, -1, -2))
-            b = b.at[li].add(bi_e).at[lj].add(bj_e)
-            # damping/anchoring on this partition's own slots
-            own_gids = jnp.concatenate([part.interior_idx[p], part.separator_idx])
-            own_anchor = jnp.concatenate([anchor, jnp.zeros(1)])[
-                jnp.minimum(own_gids, v_cap)
-            ]
-            # interior slots: full anchor; separator slots: split across P
-            # partitions so the summed H_ss gets it exactly once
-            scale = jnp.concatenate(
-                [jnp.ones(I), jnp.full((S,), 1.0 / P)]
-            )
-            invalid_slot = own_gids >= v_cap
-            diag_add = jnp.where(invalid_slot, cfg.anchor_weight, own_anchor * scale)
-            slots = jnp.arange(n_loc)
-            H = H.at[slots, :, slots, :].add(
-                diag_add[:, None, None] * jnp.eye(3)[None]
-            )
-            return H.reshape(3 * n_loc, 3 * n_loc), b.reshape(3 * n_loc)
-
-        Hp, bp = jax.vmap(build_partition)(jnp.arange(P))
+        Hp, bp, chi_p = _partition_systems(cfg, graph, part, poses,
+                                           jnp.arange(P))
+        chi = jnp.sum(chi_p)
         H_ii = Hp[:, :d_i, :d_i]
         H_is = Hp[:, :d_i, d_i:]
         H_ss_p = Hp[:, d_i:, d_i:]

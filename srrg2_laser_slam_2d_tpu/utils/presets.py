@@ -144,6 +144,7 @@ config_mod.register(
         "closure_merge_binning": "closure merger point binning (distribution homogenization)",
         "cue_extrinsics": "per-cue sensor-in-robot poses; enables multi-cue tracking",
         "use_fast_tracker": "track through the fused frame kernel (lazy scene materialization)",
+        "fast_canvas_meas": "fast-tracker measurement layout: pre-z-buffered canvases (fast) vs raw rows (bit-exact parity oracle)",
     },
 )
 config_mod.register(PolarProjection)
@@ -188,10 +189,22 @@ def laser0_preprocessor() -> PreprocessorConfig:
     )
 
 
-def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.GraphSLAMConfig:
-    """Full LASER_0 SLAM assembly (single laser + wheel odometry)."""
+def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192,
+                use_fast_tracker: bool | None = None) -> slam_mod.GraphSLAMConfig:
+    """Full LASER_0 SLAM assembly (single laser + wheel odometry).
+
+    ``use_fast_tracker`` defaults to ON when a TPU backend is present: the
+    production tracking path IS the fused frame kernel (parity with the XLA
+    path proven in tests/test_fast_slam.py — same topology, closures, ATE).
+    On CPU the kernel only runs under the slow Pallas interpreter, so the
+    default there is the XLA tracker (the parity oracle)."""
+    if use_fast_tracker is None:
+        import jax
+
+        use_fast_tracker = jax.default_backend() != "cpu"
     proj = reference_projection(num_beams)
     return slam_mod.GraphSLAMConfig(
+        use_fast_tracker=use_fast_tracker,
         local_map_distance=1.0,
         tracker=tracker_mod.TrackerConfig(
             scene_capacity=scene_capacity,

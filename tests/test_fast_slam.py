@@ -47,10 +47,14 @@ def test_fast_slam_loop_closure_and_relocalization():
     from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
 
     results = {}
-    for fast in (False, True):
+    # (fast, canvas): canvas=False is the bit-identical parity-oracle mode;
+    # canvas=True is the production fast layout (trajectory-equivalent, so
+    # the split boundaries may shift by one frame — topology within 1)
+    for fast, canvas in ((False, False), (True, False), (True, True)):
         slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=True)
         cfg = dataclasses.replace(
-            slam.cfg, use_fast_tracker=fast, enable_relocalizer=True
+            slam.cfg, use_fast_tracker=fast, enable_relocalizer=True,
+            fast_canvas_meas=canvas,
         )
         s = slam_mod.GraphSLAM2D(
             cfg, sensor_in_robot=np.array(ds.config.sensor_in_robot, np.float32)
@@ -59,14 +63,20 @@ def test_fast_slam_loop_closure_and_relocalization():
             s.process(pre.compute(ds.ranges[k]), ds.robot_poses[k])
         err = np.abs(s.robot_in_world() - ds.robot_poses[-1])
         err[2] = abs(np.arctan2(np.sin(err[2]), np.cos(err[2])))
-        results[fast] = (
+        results[(fast, canvas)] = (
             s.num_variables(), s.num_closures, s.relocalizations,
             float(np.linalg.norm(err[:2])),
         )
 
-    ref, fst = results[False], results[True]
+    ref, fst = results[(False, False)], results[(True, False)]
     assert fst[1] >= 1, "no loop closures with the fast tracker"
     assert fst[2] >= 1, "no relocalization with the fast tracker"
     assert fst[0] == ref[0], (ref, fst)          # same topology
     assert abs(fst[1] - ref[1]) <= 0.2 * ref[1]  # same closure activity
     assert fst[3] <= ref[3] + 0.15, (ref, fst)   # no worse end-pose error
+
+    cnv = results[(True, True)]
+    assert cnv[1] >= 1 and cnv[2] >= 1
+    assert abs(cnv[0] - ref[0]) <= 1, (ref, cnv)   # topology within one split
+    assert abs(cnv[1] - ref[1]) <= 0.2 * ref[1] + 1
+    assert cnv[3] <= ref[3] + 0.15, (ref, cnv)
