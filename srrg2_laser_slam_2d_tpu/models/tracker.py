@@ -366,10 +366,46 @@ def track_step_multi_impl(
     for c in range(1, n_cues):
         moving = cloud_op.concat(moving, clips[c])
 
-    res = icp.align_multi(
-        cfg.aligner, cfg.projection, measurements, extrinsics, moving, T0,
-        odom_prior=T0,
-    )
+    if cfg.use_fused_aligner:
+        # fused multi-cue kernel: all cue canvases matched + reduced into one
+        # 3x3 solve per GN iteration inside ONE Pallas program
+        from ..ops.pallas_multicue_align import fused_projective_align_multi
+
+        a = cfg.aligner
+        fres = fused_projective_align_multi(
+            cfg.projection,
+            measurements.xy, measurements.normal, measurements.valid,
+            extrinsics,
+            moving.xy, moving.normal, moving.valid,
+            T0,
+            odom_prior=T0,
+            iterations=a.max_iterations,
+            point_distance=a.point_distance,
+            normal_cos=a.normal_cos,
+            chi_threshold=a.chi_threshold,
+            min_inliers=a.min_num_inliers,
+            min_corr=a.min_num_correspondences,
+            odom_weight=a.odom_weight,
+            damping=a.damping,
+            interpret=jax.default_backend() == "cpu",
+        )
+        it_stats = fres.iter_stats.at[:, 3].set(
+            fres.iter_stats[:, 3] / jnp.maximum(fres.iter_stats[:, 2], 1.0)
+        )
+        res = icp.AlignResult(
+            estimate=fres.estimate,
+            chi=fres.chi,
+            num_correspondences=fres.num_corr.astype(jnp.int32),
+            num_inliers=fres.num_inliers.astype(jnp.int32),
+            chi_inliers=fres.chi_inl_sum / jnp.maximum(fres.num_inliers, 1.0),
+            iterations=jnp.int32(a.max_iterations),
+            stats=it_stats,
+        )
+    else:
+        res = icp.align_multi(
+            cfg.aligner, cfg.projection, measurements, extrinsics, moving, T0,
+            odom_prior=T0,
+        )
 
     X_new = geometry.compose(state.robot_in_local_map, geometry.inverse(res.estimate))
 

@@ -98,6 +98,14 @@ class FrameSpec:
     # outside the frame loop) — removes the [F, B] dense compare, the
     # largest single in-kernel cost
     meas_as_canvas: bool = False
+    # K-stream kernel (ops/pallas_stream.py) only — canvas-gather backend:
+    # "roll" = static shift enumeration over ±stream_band_shift beams (every
+    # op stays a [8, K, B] row op: per-stream cost is K-independent up to
+    # sublane packing, and no [K, window, 128] intermediate exists, keeping
+    # VMEM flat in K); "onehot" = per-128-block one-hot + batched MXU gather
+    # (the K-linear-cost formulation, kept as the parity oracle).
+    stream_gather: str = "roll"
+    stream_band_shift: int = 64
 
     @property
     def cols_padded(self) -> int:

@@ -4,9 +4,13 @@ The single-stream fused frame kernel (ops/pallas_frame.py) runs every
 per-beam row as [1, B]: one VPU sublane out of eight does work. A 721-beam
 scan cannot fill the chip alone. This module batches K independent tracking
 streams (robots / sessions / dataset shards) through ONE grid-iterated
-pallas_call, with every row op widened to [K, B] (full sublane utilization)
-and the banded canvas gather widened to a K-batched ``dot_general``. Stream
-semantics are UNCHANGED: each stream carries its own cache canvas, pose,
+pallas_call, with every row op widened to [K, B] (full sublane utilization).
+The banded canvas gather has two backends (FrameSpec.stream_gather): the
+default "roll" enumerates static shifts over ±stream_band_shift beams — one
+3D ``pltpu.roll`` of the [8, K, B] canvas per shift serves all streams and
+fields at once, keeping per-stream cost constant in K and VMEM flat (no
+[K, window, 128] intermediate) — and "onehot" keeps the K-batched
+``dot_general`` formulation as the oracle. Stream semantics are UNCHANGED: each stream carries its own cache canvas, pose,
 odometry and scene-slot counter, and frame t of every stream matches the
 single-stream kernel bit-for-bit math (validated in
 tests/test_stream_batch.py against pallas_frame.frame_step).
@@ -94,6 +98,83 @@ def _moving_fields_b(mov, T, proj):
            & (d >= proj.range_min) & (d <= proj.range_max))
     col_i = jnp.where(okp, colf, -1.0).astype(jnp.int32)
     return dict(px=px, py=py, nx=nx, ny=ny, d=d, col_i=col_i, okp=okp)
+
+
+def _roll_gather_b(canvasF, f, spec: FrameSpec):
+    """Banded canvas gather by static shift enumeration.
+
+    canvasF: [8, K, B] FIELD-major measurement canvas (no stream-major copy
+    needed). Each moving point at home lane r wants canvas beam
+    ``col_i[r] = r + delta``; for every shift s in ±stream_band_shift, one
+    3D ``pltpu.roll`` of the whole canvas brings beam r+s to lane r for all
+    8 fields x K streams at once, and a [K, B] mask selects the points whose
+    delta is exactly s. All ops are [8, K, B]/[K, B] row ops: per-stream
+    cost is constant in K (sublane packing), unlike the one-hot gather whose
+    [K, window, 128] hot matrix and K-batched small matmuls scale linearly.
+
+    Exactness: each valid point has exactly one delta, so the select is an
+    exact gather; points drifting beyond the band go unmatched (same
+    semantics class as the single-stream band — bounded by per-frame sensor
+    motion; ±64 beams = 32 deg at 721/2pi).
+
+    The shift loop is a ``fori_loop`` with a DYNAMIC roll amount
+    (tpu.DynamicRotate): program size is constant in the band width — a
+    statically-unrolled variant trips the TPU compiler's program-size limits
+    at ~50+ distinct static rotate amounts inside the GN fori_loop."""
+    B = spec.cols_padded
+    S = spec.stream_band_shift
+    lane = jax.lax.broadcasted_iota(jnp.int32, f["col_i"].shape, 1)
+    delta = f["col_i"] - lane
+    okp = f["okp"]
+
+    def shift_body(i, gath):
+        s = i - S                                            # in [-S, S]
+        sel = (delta == s) & okp                             # [K, B]
+        rolled = pltpu.roll(canvasF, jnp.mod(B - s, B), axis=2)
+        return jnp.where(jnp.expand_dims(sel, 0), rolled, gath)
+
+    return jax.lax.fori_loop(
+        0, 2 * S + 1, shift_body, jnp.zeros(canvasF.shape, jnp.float32)
+    )
+
+
+def _stats_from_gather_b(gath, f, spec: FrameSpec):
+    """Normal-equation reduction from gathered canvas rows ([8, K, B]) and
+    moving fields ([K, B]) — the whole-row counterpart of the per-128-block
+    tail of ``_banded_stats_b``. Returns 13 x [K, 1] sums."""
+    bmin, bfx, bfy = gath[0], gath[1], gath[2]
+    bfnx, bfny, bhas = gath[3], gath[4], gath[5]
+    px_b, py_b, d_b = f["px"], f["py"], f["d"]
+    nx_b, ny_b = f["nx"], f["ny"]
+
+    close = jnp.abs(bmin - d_b) <= spec.point_distance
+    ndot = bfnx * nx_b + bfny * ny_b
+    ok = (bhas > 0.5) & close & (ndot >= spec.normal_cos)
+
+    e1 = bfnx * (px_b - bfx) + bfny * (py_b - bfy)
+    e2 = nx_b - bfnx
+    e3 = ny_b - bfny
+    chi = e1 * e1 + e2 * e2 + e3 * e3
+    if spec.chi_threshold > 0:
+        w = jnp.where(chi < spec.chi_threshold, 1.0,
+                      spec.chi_threshold / jnp.maximum(chi, 1e-20))
+    else:
+        w = jnp.ones_like(chi)
+    w = jnp.where(ok, w, 0.0)
+    okf = ok.astype(jnp.float32)
+
+    j1c = bfnx * (-py_b) + bfny * px_b
+    sn2 = nx_b * nx_b + ny_b * ny_b
+    thr = spec.chi_threshold if spec.chi_threshold > 0 else _BIG
+    inl = okf * (chi < thr).astype(jnp.float32)
+    terms = (
+        w * bfnx * bfnx, w * bfnx * bfny, w * bfnx * j1c,
+        w * bfny * bfny, w * bfny * j1c, w * (j1c * j1c + sn2),
+        w * bfnx * e1, w * bfny * e1,
+        w * (j1c * e1 - ny_b * e2 + nx_b * e3),
+        okf, okf * chi, inl * chi, inl,
+    )
+    return [jnp.sum(t, axis=1, keepdims=True) for t in terms]
 
 
 def _banded_stats_b(canvasK, f, spec: FrameSpec):
@@ -248,8 +329,9 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
     """One tracking frame for K streams at once on VMEM values.
 
     measC/cacheB [8, K, B] (field-major, for [K, B] elementwise rows),
-    measCk [K, 8, B] (stream-major copy of the same canvas, for the batched
-    MXU gather), poseB [K, 16], odomB [K, 8].
+    measCk [K, 8, B] (stream-major copy of the same canvas for the batched
+    MXU gather — only with spec.stream_gather == "onehot"; None for the
+    default "roll" backend), poseB [K, 16], odomB [K, 8].
     Returns (cacheB', poseB', payload [8, K, B])."""
     proj = spec.projection
     B = spec.cols_padded
@@ -283,10 +365,17 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
     K = poseB.shape[0]
     it_lane = jax.lax.broadcasted_iota(jnp.int32, (K, B), 1)
 
+    if spec.stream_gather == "roll":
+        def stats_of(f):
+            return _stats_from_gather_b(_roll_gather_b(measC, f, spec), f, spec)
+    else:
+        def stats_of(f):
+            return _banded_stats_b(measCk, f, spec)
+
     def gn_iter(i, carry):
         Tst, iter_row = carry
         T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
-        s = _banded_stats_b(measCk, _moving_fields_b(mov, T, proj), spec)
+        s = stats_of(_moving_fields_b(mov, T, proj))
         iter_row = jnp.where(it_lane == i, s[10], iter_row)
         iter_row = jnp.where(it_lane == 64 + i, s[12], iter_row)
         sums9 = tuple(s[:9])
@@ -310,7 +399,7 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
 
     # final fields: stats + the transformed cache (cur-sensor frame)
     f = _moving_fields_b(mov, T, proj)
-    s = _banded_stats_b(measCk, f, spec)
+    s = stats_of(f)
 
     # ---- merge (beam-window lean semantics) ----
     smin, svals, s_ok = _beam_zbuffer_b(
@@ -412,16 +501,31 @@ def stream_step(spec: FrameSpec, measC: Array, odomB: Array, cacheB: Array,
     is derived here (one XLA transpose outside the kernel)."""
     K = poseB.shape[0]
     B = spec.cols_padded
+    roll = spec.stream_gather == "roll"
 
-    def kernel(measC_ref, measCk_ref, odomB_ref, cacheB_ref, poseB_ref,
-               oc_ref, op_ref, opay_ref):
-        c, p, pay = _frame_body_b(spec, measC_ref[:], measCk_ref[:],
-                                  cacheB_ref[:], poseB_ref[:], odomB_ref[:])
-        oc_ref[:] = c
-        op_ref[:] = p
-        opay_ref[:] = pay
+    if roll:
+        def kernel(measC_ref, odomB_ref, cacheB_ref, poseB_ref,
+                   oc_ref, op_ref, opay_ref):
+            c, p, pay = _frame_body_b(spec, measC_ref[:], None,
+                                      cacheB_ref[:], poseB_ref[:],
+                                      odomB_ref[:])
+            oc_ref[:] = c
+            op_ref[:] = p
+            opay_ref[:] = pay
 
-    measCk = jnp.transpose(measC, (1, 0, 2))
+        inputs = (measC, odomB, cacheB, poseB)
+    else:
+        def kernel(measC_ref, measCk_ref, odomB_ref, cacheB_ref, poseB_ref,
+                   oc_ref, op_ref, opay_ref):
+            c, p, pay = _frame_body_b(spec, measC_ref[:], measCk_ref[:],
+                                      cacheB_ref[:], poseB_ref[:],
+                                      odomB_ref[:])
+            oc_ref[:] = c
+            op_ref[:] = p
+            opay_ref[:] = pay
+
+        inputs = (measC, jnp.transpose(measC, (1, 0, 2)), odomB, cacheB,
+                  poseB)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -429,11 +533,11 @@ def stream_step(spec: FrameSpec, measC: Array, odomB: Array, cacheB: Array,
             jax.ShapeDtypeStruct((K, 16), jnp.float32),
             jax.ShapeDtypeStruct((8, K, B), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(3)),
         interpret=interpret,
-    )(measC, measCk, odomB, cacheB, poseB)
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -447,32 +551,63 @@ def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
     payload blocks stream out. Returns (cacheB', poseB',
     payloads [T, 8, K, B])."""
     T, _, K, B = measC_stack.shape
+    roll = spec.stream_gather == "roll"
 
-    def kernel(measC_ref, measCk_ref, odomB_ref, cache0_ref, pose0_ref,
-               oc_ref, op_ref, opay_ref, cache_s, pose_s):
-        t = pl.program_id(0)
+    if roll:
+        def kernel(measC_ref, odomB_ref, cache0_ref, pose0_ref,
+                   oc_ref, op_ref, opay_ref, cache_s, pose_s):
+            t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _():
-            cache_s[:] = cache0_ref[:]
-            pose_s[:] = pose0_ref[:]
+            @pl.when(t == 0)
+            def _():
+                cache_s[:] = cache0_ref[:]
+                pose_s[:] = pose0_ref[:]
 
-        c, p, pay = _frame_body_b(spec, measC_ref[0], measCk_ref[0],
-                                  cache_s[:], pose_s[:], odomB_ref[0])
-        cache_s[:] = c
-        pose_s[:] = p
-        opay_ref[0] = pay
+            c, p, pay = _frame_body_b(spec, measC_ref[0], None,
+                                      cache_s[:], pose_s[:], odomB_ref[0])
+            cache_s[:] = c
+            pose_s[:] = p
+            opay_ref[0] = pay
 
-        @pl.when(t == T - 1)
-        def _():
-            oc_ref[:] = c
-            op_ref[:] = p
+            @pl.when(t == T - 1)
+            def _():
+                oc_ref[:] = c
+                op_ref[:] = p
 
-    measCk_stack = jnp.transpose(measC_stack, (0, 2, 1, 3))
-    return pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=[
+        inputs = (measC_stack, odom_stack, cacheB, poseB)
+        in_specs = [
+            pl.BlockSpec((1, 8, K, B), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K, B), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 16), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        def kernel(measC_ref, measCk_ref, odomB_ref, cache0_ref, pose0_ref,
+                   oc_ref, op_ref, opay_ref, cache_s, pose_s):
+            t = pl.program_id(0)
+
+            @pl.when(t == 0)
+            def _():
+                cache_s[:] = cache0_ref[:]
+                pose_s[:] = pose0_ref[:]
+
+            c, p, pay = _frame_body_b(spec, measC_ref[0], measCk_ref[0],
+                                      cache_s[:], pose_s[:], odomB_ref[0])
+            cache_s[:] = c
+            pose_s[:] = p
+            opay_ref[0] = pay
+
+            @pl.when(t == T - 1)
+            def _():
+                oc_ref[:] = c
+                op_ref[:] = p
+
+        inputs = (measC_stack, jnp.transpose(measC_stack, (0, 2, 1, 3)),
+                  odom_stack, cacheB, poseB)
+        in_specs = [
             pl.BlockSpec((1, 8, K, B), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, 8, B), lambda t: (t, 0, 0, 0),
@@ -482,7 +617,11 @@ def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
             pl.BlockSpec((8, K, B), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 16), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((8, K, B), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -500,7 +639,7 @@ def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
             pltpu.VMEM((K, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(measC_stack, measCk_stack, odom_stack, cacheB, poseB)
+    )(*inputs)
 
 
 # ----------------------------------------------------- host-side adapters

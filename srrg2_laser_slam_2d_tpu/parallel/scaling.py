@@ -122,27 +122,129 @@ def measure_schur_scaling(side: int = 24, device_counts=None, reps: int = 3) -> 
     return results
 
 
+def measure_stream_scaling(
+    k_per_device: int = 4, frames: int = 16, num_beams: int = 181,
+    device_counts=None, reps: int = 3
+) -> list[dict]:
+    """Tracking frames/s WEAK scaling: K independent tracking streams per
+    device through the K-stream fused frame kernel (ops/pallas_stream.py),
+    sharded over the device mesh with shard_map. This is the north-star
+    frames/s-per-chip metric at N devices; streams are independent, so the
+    design target is ~1.0 efficiency (any loss is dispatch/collective
+    overhead). On the CPU mesh the kernel runs interpreted —
+    correctness/harness validation only, not a performance number."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..bench import pipeline, synthetic
+    from ..models import fast_tracker as ft
+    from ..models.preprocessor import PreprocessorConfig
+    from ..ops import pallas_stream as ps
+    from ..ops.pallas_frame import FrameSpec
+    from ..ops.projector import PolarProjection
+
+    counts = device_counts or [1, 2, 4, len(jax.devices())]
+    counts = sorted({c for c in counts if c <= len(jax.devices())})
+    interpret = jax.default_backend() == "cpu"
+
+    proj = PolarProjection.make(cols=num_beams, angle_min=-np.pi,
+                                angle_max=np.pi, range_min=0.3,
+                                range_max=20.0)
+    spec = FrameSpec(scene_capacity=512, projection=proj, iterations=5,
+                     odom_weight=1.0, meas_as_canvas=True)
+    pcfg = PreprocessorConfig(voxelize_resolution=0.02, normal_window=8)
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(steps=frames, num_beams=num_beams)
+    )
+    stack = pipeline.preprocess_batch(ds.projection, pcfg,
+                                      jnp.asarray(ds.ranges))
+    od = jnp.asarray(ds.robot_poses)
+    st = ft.seed(spec, jax.tree.map(lambda x: x[0], stack),
+                 np.array(ds.config.sensor_in_robot, np.float32), odom=od[0])
+    measC = ft.pack_measurement_canvas_batch(
+        spec, jax.tree.map(lambda x: x[1:], stack)
+    )
+
+    results = []
+    for n in counts:
+        k = k_per_device * n
+        mesh = make_mesh(n)
+        cacheB, poseB = ps.pack_stream_state(
+            jnp.broadcast_to(st.cacheT, (k,) + st.cacheT.shape),
+            jnp.broadcast_to(st.pose, (k,) + st.pose.shape),
+        )
+        measC_stack, odom_stack = ps.pack_stream_measurements(
+            jnp.broadcast_to(measC, (k,) + measC.shape),
+            jnp.broadcast_to(od[1:], (k,) + od[1:].shape),
+        )
+
+        @jax.jit
+        def run(cacheB, poseB, measC_stack, odom_stack, _mesh=mesh):
+            fn = shard_map(
+                lambda c, p, m, o: ps.track_streams_grid(
+                    spec, c, p, m, o, interpret=interpret
+                ),
+                mesh=_mesh,
+                in_specs=(P(None, "d"), P("d"), P(None, None, "d"), P(None, "d")),
+                out_specs=(P(None, "d"), P("d"), P(None, None, "d")),
+            )
+            cB, pB, _pay = fn(cacheB, poseB, measC_stack, odom_stack)
+            return pB
+
+        run(cacheB, poseB, measC_stack, odom_stack).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run(cacheB, poseB, measC_stack, odom_stack).block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        t_frames = measC_stack.shape[0]
+        results.append({
+            "devices": n, "streams": k, "seconds": dt,
+            "aggregate_scans_per_sec": k * t_frames / dt,
+        })
+    base = results[0]["aggregate_scans_per_sec"]
+    for r in results:
+        r["speedup"] = r["aggregate_scans_per_sec"] / base
+        r["efficiency"] = r["speedup"] / r["devices"]
+    return results
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--side", type=int, default=32)
     ap.add_argument(
-        "--what", choices=["pgo", "align", "schur", "all"], default="pgo"
+        "--what", choices=["pgo", "align", "schur", "streams", "all"],
+        default="pgo",
     )
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args(argv)
     jobs = {
         "pgo": lambda: measure_pgo_scaling(args.side),
         "align": measure_batch_align_scaling,
         "schur": lambda: measure_schur_scaling(min(args.side, 24)),
+        "streams": measure_stream_scaling,
     }
     names = list(jobs) if args.what == "all" else [args.what]
+    all_results = {
+        "backend": jax.default_backend(),
+        "devices": len(jax.devices()),
+        "note": ("virtual CPU mesh: correctness/harness validation only"
+                 if jax.default_backend() == "cpu" else "real hardware"),
+    }
     for name in names:
         print(f"== {name} ==")
-        for r in jobs[name]():
+        all_results[name] = jobs[name]()
+        for r in all_results[name]:
             extra = f" candidates={r['candidates']}" if "candidates" in r else ""
+            extra += f" streams={r['streams']}" if "streams" in r else ""
             print(
                 f"devices={r['devices']}: {r['seconds']*1000:.1f} ms "
                 f"speedup={r['speedup']:.2f} efficiency={r['efficiency']:.2f}{extra}"
             )
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(all_results, f, indent=1)
 
 
 if __name__ == "__main__":

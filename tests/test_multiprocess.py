@@ -20,32 +20,34 @@ def _free_port():
     return p
 
 
-def test_two_process_pgo_matches_single_process(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_pgo_matches_single_process(tmp_path, nproc):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multiprocess_worker.py")
     port = _free_port()
-    outs = [str(tmp_path / f"w{p}.npz") for p in range(2)]
+    outs = [str(tmp_path / f"w{p}.npz") for p in range(nproc)]
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(p), "2", str(port), outs[p]],
+            [sys.executable, worker, str(p), str(nproc), str(port), outs[p]],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
         )
-        for p in range(2)
+        for p in range(nproc)
     ]
     logs = [pr.communicate(timeout=540)[0].decode() for pr in procs]
     for p, pr in enumerate(procs):
         assert pr.returncode == 0, f"worker {p} failed:\n{logs[p][-3000:]}"
 
-    w0 = np.load(outs[0])
-    w1 = np.load(outs[1])
-    assert int(w0["process_count"]) == 2
-    assert int(w0["n_global_devices"]) == 8  # 2 processes x 4 devices
+    ws = [np.load(o) for o in outs]
+    w0 = ws[0]
+    assert int(w0["process_count"]) == nproc
+    assert int(w0["n_global_devices"]) == nproc * 4  # 4 local devices each
 
-    # both processes converge to the same solution (replicated variables)
-    np.testing.assert_allclose(w0["poses"], w1["poses"], atol=1e-5)
+    # all processes converge to the same solution (replicated variables)
+    for w in ws[1:]:
+        np.testing.assert_allclose(w0["poses"], w["poses"], atol=1e-5)
 
     # matches the single-process solver on the identical graph
     from tests.multiprocess_worker import build_ring
@@ -67,8 +69,9 @@ def test_two_process_pgo_matches_single_process(tmp_path):
     ref, ref_chi, _ = pgo.optimize(pgo.PGOConfig(max_iterations=10), g)
     np.testing.assert_allclose(w0["poses"], np.asarray(ref.poses[:v]), atol=1e-3)
 
-    # host-sharded scene store: each worker fetched a map it does NOT own
-    for w, pid in ((w0, 0), (w1, 1)):
+    # host-sharded scene store: every worker fetched the same map, which is
+    # remote for all but its owner
+    for w in ws:
         remote = int(w["remote_id"])
         np.testing.assert_allclose(w["fetched"], np.full((8, 2), float(remote)))
 
