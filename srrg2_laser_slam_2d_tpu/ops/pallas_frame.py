@@ -98,13 +98,17 @@ class FrameSpec:
     # outside the frame loop) — removes the [F, B] dense compare, the
     # largest single in-kernel cost
     meas_as_canvas: bool = False
-    # K-stream kernel (ops/pallas_stream.py) only — canvas-gather backend:
-    # "roll" = static shift enumeration over ±stream_band_shift beams (every
-    # op stays a [8, K, B] row op: per-stream cost is K-independent up to
-    # sublane packing, and no [K, window, 128] intermediate exists, keeping
-    # VMEM flat in K); "onehot" = per-128-block one-hot + batched MXU gather
-    # (the K-linear-cost formulation, kept as the parity oracle).
-    stream_gather: str = "roll"
+    # K-stream kernel (ops/pallas_stream.py) only — canvas-gather backend.
+    # "onehot" (default) = per-128-block one-hot + batched MXU gather: the
+    # fastest measured backend on the real chip (r4 sweep: K=32 onehot
+    # 500 us/step vs roll 1302 us/step; the batched dot_general amortizes
+    # over K far better than predicted) AND the wider matching band
+    # (±(window-65) beams vs roll's ±stream_band_shift). "roll" = static
+    # shift enumeration over ±stream_band_shift beams via 3D pltpu.roll —
+    # VMEM-flat in K (no [K, window, 128] hot matrix), kept for large-K
+    # configurations where the onehot hot-matrix VMEM (K*window*128*4 B)
+    # does not fit (onehot K=64 at window 256 fails to compile on v5e).
+    stream_gather: str = "onehot"
     stream_band_shift: int = 64
 
     @property

@@ -6,14 +6,22 @@ scan cannot fill the chip alone. This module batches K independent tracking
 streams (robots / sessions / dataset shards) through ONE grid-iterated
 pallas_call, with every row op widened to [K, B] (full sublane utilization).
 The banded canvas gather has two backends (FrameSpec.stream_gather): the
-default "roll" enumerates static shifts over ±stream_band_shift beams — one
-3D ``pltpu.roll`` of the [8, K, B] canvas per shift serves all streams and
-fields at once, keeping per-stream cost constant in K and VMEM flat (no
-[K, window, 128] intermediate) — and "onehot" keeps the K-batched
-``dot_general`` formulation as the oracle. Stream semantics are UNCHANGED: each stream carries its own cache canvas, pose,
-odometry and scene-slot counter, and frame t of every stream matches the
-single-stream kernel bit-for-bit math (validated in
-tests/test_stream_batch.py against pallas_frame.frame_step).
+default "onehot" is the K-batched ``dot_general`` MXU gather (fastest
+measured on the real chip — see FrameSpec.stream_gather notes) and "roll"
+enumerates static shifts over ±stream_band_shift beams — one 3D
+``pltpu.roll`` of the [8, K, B] canvas per shift serves all streams and
+fields at once, keeping VMEM flat in K (the fallback for K large enough
+that the [K, window, 128] hot matrix overflows VMEM). Stream semantics are
+UNCHANGED:
+each stream carries its own cache canvas, pose, odometry and scene-slot
+counter. Parity with the single-stream kernel (validated per backend in
+tests/test_stream_batch.py against pallas_frame.frame_step) is bit-for-bit
+for points whose per-frame beam drift stays inside the backend's band:
+±stream_band_shift beams (default ±64 ≈ 32° at 721 beams/2π) for "roll",
+up to ±(window - 65) beams for "onehot" (window-start placement in
+bk.window_start). Points drifting beyond the band go unmatched — the same
+semantics class as the single-stream banded window, bounded by per-frame
+sensor motion; size stream_band_shift up for fast-rotation workloads.
 
 Reference behavior covered per frame per stream: identical to
 ops/pallas_frame.py (SceneClipperProjective2D via the carried canvas,
@@ -55,6 +63,14 @@ from .pallas_projector import _atan2
 Array = jax.Array
 
 _BIG = 1.0e30
+
+# Scoped-VMEM ceiling for the stream kernels. The platform default (16 MiB,
+# --xla_tpu_scoped_vmem_limit_kib) rejects the onehot gather's
+# [K, window, 128] hot matrix at K >= 64 — surfaced as an opaque HTTP 500
+# from the axon compile helper until round 4 captured the real error
+# ("Scoped allocation ... exceeded scoped vmem limit"). v5e has 128 MiB of
+# physical VMEM; 100 MiB leaves room for the framework's own buffers.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 # ------------------------------------------------------ batched scalar SE(2)
@@ -502,6 +518,7 @@ def stream_step(spec: FrameSpec, measC: Array, odomB: Array, cacheB: Array,
     K = poseB.shape[0]
     B = spec.cols_padded
     roll = spec.stream_gather == "roll"
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
     if roll:
         def kernel(measC_ref, odomB_ref, cacheB_ref, poseB_ref,
@@ -536,6 +553,7 @@ def stream_step(spec: FrameSpec, measC: Array, odomB: Array, cacheB: Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(3)),
+        compiler_params=None if interpret else params,
         interpret=interpret,
     )(*inputs)
 
@@ -543,15 +561,31 @@ def stream_step(spec: FrameSpec, measC: Array, odomB: Array, cacheB: Array,
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
                        measC_stack: Array, odom_stack: Array,
-                       interpret: bool = False):
+                       interpret: bool = False, measCk_stack: Array = None):
     """[T, 8, K, B] measurement canvases for K streams as ONE pallas_call.
 
     grid=(T,): sequential grid steps carry all K stream states in VMEM
     scratch; measurement/odometry blocks stream in via the grid pipeline,
     payload blocks stream out. Returns (cacheB', poseB',
-    payloads [T, 8, K, B])."""
+    payloads [T, 8, K, B]).
+
+    ``measCk_stack``: optional PRE-transposed stream-major copy
+    [T, K, 8, B] for the onehot gather (pack_stream_measurements returns
+    it). When omitted it is derived here — one XLA transpose per call,
+    cheap on-device but worth hoisting out of a chained-dispatch loop.
+
+    Throughput note (measured r4): through the axon tunnel, the FIRST host
+    sync after any device->host transfer in the process pays a ~24 ms
+    completion-poll penalty — a per-sync latency artifact, NOT kernel time
+    (30 chained calls complete in ~30 ms total). Steady-state serving must
+    dispatch sequence chunks asynchronously and sync rarely; benchmarks
+    must amortize the sync over chained calls (bench/stream_bench.py)."""
     T, _, K, B = measC_stack.shape
     roll = spec.stream_gather == "roll"
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+    )
 
     if roll:
         def kernel(measC_ref, odomB_ref, cache0_ref, pose0_ref,
@@ -605,8 +639,9 @@ def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
                 oc_ref[:] = c
                 op_ref[:] = p
 
-        inputs = (measC_stack, jnp.transpose(measC_stack, (0, 2, 1, 3)),
-                  odom_stack, cacheB, poseB)
+        if measCk_stack is None:
+            measCk_stack = jnp.transpose(measC_stack, (0, 2, 1, 3))
+        inputs = (measC_stack, measCk_stack, odom_stack, cacheB, poseB)
         in_specs = [
             pl.BlockSpec((1, 8, K, B), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -638,6 +673,7 @@ def track_streams_grid(spec: FrameSpec, cacheB: Array, poseB: Array,
             pltpu.VMEM((8, K, B), jnp.float32),
             pltpu.VMEM((K, 16), jnp.float32),
         ],
+        compiler_params=None if interpret else params,
         interpret=interpret,
     )(*inputs)
 

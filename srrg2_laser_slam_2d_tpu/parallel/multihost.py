@@ -148,19 +148,18 @@ class HostShardedSceneStore:
         provides shapes/dtypes for non-owners.
 
         COLLECTIVE: every process must call ``get`` with the SAME map_id in
-        the same order (the allgather pairs across processes)."""
+        the same order (the broadcast pairs across processes).
+
+        Traffic is O(scene): ``broadcast_one_to_all`` ships exactly one copy
+        of the owner's arrays (non-owners contribute zeros into a psum-style
+        reduce) — not the O(P * scene) allgather-everything-everywhere this
+        used before (round-3 review weak #5)."""
         from jax.experimental import multihost_utils
 
-        if self.owner(map_id) == self.pid:
+        is_owner = self.owner(map_id) == self.pid
+        if is_owner:
             val = self._scenes[map_id]
         else:
             val = tuple(np.zeros_like(np.asarray(x)) for x in template)
-        # allgather all processes' copies, select the owner's (others
-        # contributed zeros); reshape guards against concat-vs-stack layouts
-        out = []
-        for x in val:
-            x = np.asarray(x)
-            g = np.asarray(multihost_utils.process_allgather(x))
-            g = g.reshape((self.n,) + x.shape)
-            out.append(g[self.owner(map_id)])
-        return tuple(out)
+        out = multihost_utils.broadcast_one_to_all(val, is_source=is_owner)
+        return tuple(np.asarray(x) for x in out)

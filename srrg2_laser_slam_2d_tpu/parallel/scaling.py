@@ -134,7 +134,7 @@ def measure_stream_scaling(
     overhead). On the CPU mesh the kernel runs interpreted —
     correctness/harness validation only, not a performance number."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..bench import pipeline, synthetic
     from ..models import fast_tracker as ft
@@ -178,6 +178,8 @@ def measure_stream_scaling(
             jnp.broadcast_to(od[1:], (k,) + od[1:].shape),
         )
 
+        from .mesh import GRAPH_AXIS
+
         @jax.jit
         def run(cacheB, poseB, measC_stack, odom_stack, _mesh=mesh):
             fn = shard_map(
@@ -185,8 +187,11 @@ def measure_stream_scaling(
                     spec, c, p, m, o, interpret=interpret
                 ),
                 mesh=_mesh,
-                in_specs=(P(None, "d"), P("d"), P(None, None, "d"), P(None, "d")),
-                out_specs=(P(None, "d"), P("d"), P(None, None, "d")),
+                in_specs=(P(None, GRAPH_AXIS), P(GRAPH_AXIS),
+                          P(None, None, GRAPH_AXIS), P(None, GRAPH_AXIS)),
+                out_specs=(P(None, GRAPH_AXIS), P(GRAPH_AXIS),
+                           P(None, None, GRAPH_AXIS)),
+                check_vma=False,
             )
             cB, pB, _pay = fn(cacheB, poseB, measC_stack, odom_stack)
             return pB

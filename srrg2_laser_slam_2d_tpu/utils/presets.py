@@ -237,13 +237,39 @@ def laser0_slam(num_beams: int = 721, scene_capacity: int = 8192,
     )
 
 
-def multi_slam(num_beams: int = 721, scene_capacity: int = 8192) -> slam_mod.GraphSLAMConfig:
+def multi_slam(num_beams: int = 721, scene_capacity: int = 8192,
+               cue_extrinsics=((0.0, 0.0, 0.0), (0.0, 0.0, math.pi)),
+               use_fused_aligner: bool | None = None) -> slam_mod.GraphSLAMConfig:
     """MULTI assembly: dual rangefinders + wheel odometry
     (configurations/stage_segway_double_config_MULTI.json — identical to
     LASER_0 except for the second laser slice, which in this framework means
     running the tracker through models.tracker.MultiCueTracker with two
-    extrinsics; the SLAM-level parameters are unchanged)."""
-    return laser0_slam(num_beams, scene_capacity)
+    extrinsics; the SLAM-level parameters are unchanged).
+
+    ``cue_extrinsics`` are the sensor-in-robot poses of the two rangefinders
+    (the reference pulls them from the TF tree via each slice's ``frame_id``,
+    aligner_slice_processor_laser_2d.h:22-45; the default here is the
+    stage_segway arrangement — front laser at the base frame, rear laser
+    rotated π). Callers with a TF tree override them per run.
+
+    ``use_fused_aligner`` defaults ON when a TPU backend is present: dual-cue
+    alignment then runs as ONE Pallas program (ops/pallas_multicue_align.py,
+    parity proven in tests/test_multicue_fused.py). On CPU the kernel would
+    run under the slow interpreter, so the default there is the XLA
+    ``icp.align_multi`` path."""
+    if use_fused_aligner is None:
+        import jax
+
+        use_fused_aligner = jax.default_backend() != "cpu"
+    import dataclasses
+
+    cfg = laser0_slam(num_beams, scene_capacity)
+    return dataclasses.replace(
+        cfg,
+        cue_extrinsics=tuple(tuple(float(v) for v in e) for e in cue_extrinsics),
+        tracker=dataclasses.replace(cfg.tracker,
+                                    use_fused_aligner=use_fused_aligner),
+    )
 
 
 def default_config_manager() -> config_mod.ConfigManager:

@@ -3,8 +3,11 @@ Killian Court acceptance dataset (no egress; see BENCH_NOTES.md). Mirrors the
 reference's dataset-tier tests: exact first-scan adapted-point counts
 (test_measurement_adaptor.cpp:70,104) and a dataset-slice tracking run with
 graph-topology checks (test_slam.cpp:65-66). The FULL 2,871-frame gated run
-happens on TPU via generic_bench_app --gate corridor; its recorded results
-live in bench/results/.
+(committed inputs bench/data/corridor.jsonl + corridor_gt.tum) is executed
+on TPU via  generic_bench_app -i bench/data/corridor.jsonl --gt
+bench/data/corridor_gt.tum --gate corridor ; its recorded verdict/ATE/timing
+artifact is bench/results/corridor_r04.json (with the TUM trajectory
+alongside).
 """
 
 import numpy as np

@@ -57,8 +57,12 @@ def _single_rollout(spec, state, measC_stack):
     return cacheT, pose, jnp.stack(payloads)
 
 
-def test_stream_batch_matches_single(setup):
+@pytest.mark.parametrize("gather", ["roll", "onehot"])
+def test_stream_batch_matches_single(setup, gather):
     spec, states, meas, odoms = setup
+    import dataclasses
+
+    spec = dataclasses.replace(spec, stream_gather=gather)
 
     # reference single-stream rollouts (canvas row 6 carries odom there)
     refs = [_single_rollout(spec, states[k], meas[k]) for k in range(K)]
