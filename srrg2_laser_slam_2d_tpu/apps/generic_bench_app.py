@@ -31,12 +31,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--input", default=None)
     ap.add_argument("--carmen", default=None)
+    ap.add_argument("-c", "--config", default=None,
+                    help="named-assembly config file (ConfigManager format; "
+                         "the benchmark_carmen.cpp 'configs/killian.conf' "
+                         "role — per-dataset gates live in config, not code)")
     ap.add_argument("--gt", default=None, help="ground-truth TUM file")
     ap.add_argument("-o", "--output", default=None, help="TUM trajectory output")
     ap.add_argument("-t", "--timing", default=None, help="timing output file")
     ap.add_argument(
         "--gate", choices=["killian", "simul", "corridor", "none"], default="none"
     )
+    ap.add_argument("--json-out", default=None,
+                    help="write a JSON artifact (ATE stats, gate verdict, "
+                         "timing) to this path")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint path: save every --checkpoint-every frames; "
@@ -44,9 +51,16 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=400)
     args = ap.parse_args(argv)
 
+    slam_cfg, pre_cfg = None, None
+    if args.config:
+        from ..utils import config as config_mod
+
+        mgr = config_mod.ConfigManager.read(args.config)
+        slam_cfg = mgr.get_by_name("slam")
+        pre_cfg = mgr.get_by_name("preprocessor")
     runner = SlamRunner(
-        slam_config=presets.laser0_slam(),
-        preprocessor_config=presets.laser0_preprocessor(),
+        slam_config=slam_cfg or presets.laser0_slam(),
+        preprocessor_config=pre_cfg or presets.laser0_preprocessor(),
     )
     import os as _os
 
@@ -116,6 +130,17 @@ def main(argv=None) -> int:
                 f"mean_frame_hz= {summary.get('mean_frame_hz', 0):.2f}\n"
             )
 
+    artifact = {
+        "input": args.input or args.carmen,
+        "frames": n,
+        "total_dataset_time_s": round(total_dataset_time, 3),
+        "total_compute_time_s": round(summary.get("total_compute_time", 0), 3),
+        "mean_frame_time_s": round(summary.get("mean_frame_time", 0), 6),
+        "mean_frame_hz": round(summary.get("mean_frame_hz", 0), 2),
+        "graph_variables": runner.slam.num_variables() if runner.slam else 0,
+        "graph_factors": runner.slam.num_factors() if runner.slam else 0,
+    }
+    rc = 0
     if gt is not None:
         bench = suite_mod.BenchmarkSuite()
         bench.set_ground_truth(*gt)
@@ -126,17 +151,30 @@ def main(argv=None) -> int:
             f"ATE rmse_translation [ {stats['rmse_translation']:.4f} ] m | "
             f"mean_rotation [ {stats['mean_rotation']:.4f} ] rad"
         )
+        artifact["ate"] = {
+            k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+            for k, v in stats.items()
+        }
         if args.gate != "none":
             thr = {
                 "killian": suite_mod.KILLIAN_THRESHOLDS,
                 "simul": suite_mod.SIMUL_THRESHOLDS,
                 "corridor": suite_mod.CORRIDOR_THRESHOLDS,
             }[args.gate]
-            if bench.is_regression(thr, stats):
+            regression = bench.is_regression(thr, stats)
+            artifact["gate"] = args.gate
+            artifact["gate_verdict"] = "REGRESSION" if regression else "PASS"
+            if regression:
                 print("REGRESSION detected")
-                return -1
-            print("benchmark complete! (no regression)")
-    return 0
+                rc = -1
+            else:
+                print("benchmark complete! (no regression)")
+    if args.json_out:
+        import json as _json
+
+        with open(args.json_out, "w") as f:
+            _json.dump(artifact, f, indent=1)
+    return rc
 
 
 if __name__ == "__main__":

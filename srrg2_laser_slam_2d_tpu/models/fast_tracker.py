@@ -228,13 +228,18 @@ def materialize(spec: FrameSpec, scene: Cloud, payloads: Array,
     ny = payloads[:, 3, :].reshape(-1)
     live = (kind > 0) & (rows >= 0) & (rows < cap)
     t_idx = jnp.broadcast_to(jnp.arange(T)[:, None], (T, B)).reshape(-1)
-    key = jnp.where(live, rows * (T + 1) + t_idx, jnp.iinfo(jnp.int32).max)
-    # pass 1: stable sort by (row, t); values ride along (num_keys=1)
-    _, rows_s, live_s, px_s, py_s, nx_s, ny_s = jax.lax.sort(
-        (key, rows, live.astype(jnp.int32), px, py, nx, ny), num_keys=1
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(live, rows * (T + 1) + t_idx, big)
+    # pass 1: stable sort by (row, t); values ride along (num_keys=1).
+    # rows/live are recovered from the sorted key instead of riding along —
+    # two fewer operands of data movement in the sort network.
+    key_s, px_s, py_s, nx_s, ny_s = jax.lax.sort(
+        (key, px, py, nx, ny), num_keys=1
     )
+    live_s = key_s != big
+    rows_s = jnp.where(live_s, key_s // (T + 1), cap)
     last = jnp.concatenate([rows_s[1:] != rows_s[:-1], jnp.array([True])])
-    sel = (live_s > 0) & last
+    sel = live_s & last
     # pass 2: compact winners to the front, ordered by row (key2 == row for
     # winners, cap for losers -> winners form a sorted unique prefix)
     key2 = jnp.where(sel, rows_s, cap)

@@ -214,6 +214,13 @@ def measure_stream_scaling(
 
 
 def main(argv=None) -> None:
+    # JAX_PLATFORMS=cpu + xla_force_host_platform_device_count is the
+    # virtual-mesh mode; the axon plugin force-overrides the env var, so
+    # honor it explicitly (otherwise this harness silently grabs the single
+    # TPU and reports a 1-device "mesh")
+    from ..utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--side", type=int, default=32)
     ap.add_argument(

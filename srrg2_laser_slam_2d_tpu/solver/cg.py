@@ -81,93 +81,195 @@ def _scatter_rows(ci: Array, cj: Array, v: int, graph: PoseGraph,
     )
 
 
+# --------------------------------------------------------- component layout
+#
+# Everything below works in EDGE-MAJOR-LAST component layout: per-edge
+# quantities are tuples/stacks of 1-D [E] arrays ([3, E] residuals,
+# [3, 3, E] Jacobian blocks), per-variable vectors are 3-tuples of [V].
+# Rationale (r4, the 1M-node OOM root cause): TPU pads the last two dims of
+# every array to (8, 128) tiles, so an [E, 3, 3] block array or even an
+# [E, 3] residual materializes at 100-150x its logical size — the einsum
+# formulation's HLO temps hit 16.6 GB (4.6% utilization) at 1M nodes /
+# 2.1M edges. With E on the lane dimension every op is a dense [E] row op
+# and the whole 1M-node linearization fits in a few hundred MB.
+
+
+def _scatter1(ci: Array, cj: Array, v: int, graph: PoseGraph,
+              order: EdgeOrder | None) -> Array:
+    """Per-component scatter: [E] + [E] -> [V]."""
+    if order is None:
+        return (
+            jnp.zeros((v,), ci.dtype).at[graph.edge_i].add(ci)
+            .at[graph.edge_j].add(cj)
+        )
+    data = jnp.concatenate([ci, cj])[order.perm]
+    return jax.ops.segment_sum(
+        data, order.rows, num_segments=v, indices_are_sorted=True
+    )
+
+
 def _linearize_blocks(graph: PoseGraph, chi_threshold: float, jac_chunk: int = 0):
-    """Per-edge Jacobian blocks + robust weights + residuals.
+    """Per-edge Jacobian blocks + robust weights + residuals, in component
+    layout: JiT/JjT [3, 3, E] (JiT[k, i, e] = d res_k / d xi_i at edge e),
+    woT/eT [3, E], chi scalar.
 
     With ``jac_chunk`` > 0 the jacfwd evaluation streams over edge chunks via
     ``lax.map`` (memory bounded by the chunk, not by E) — the fix that takes
     the city-scale config past the 262k-node compile ceiling of round 1."""
     ec = graph.edge_capacity
     if jac_chunk and ec > jac_chunk and ec % jac_chunk == 0:
+        poses = graph.poses
+
         def chunk_fn(args):
-            xi_c, xj_c, meas_c = args
+            # endpoint GATHERS live inside the chunk too: materializing
+            # poses[edge_i] for all E as a padded [E, 3] costs 2 GB at 2.1M
+            # edges (r4 1M-node device-fault root cause)
+            ei_c, ej_c, measT_c = args
+            xi_c, xj_c = poses[ei_c], poses[ej_c]
+            meas_c = measT_c.T
             e_c = _edge_res(xi_c, xj_c, meas_c)
             Ji_c, Jj_c = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi_c, xj_c, meas_c)
-            return e_c, Ji_c, Jj_c
+            # transpose INSIDE the chunk: the padded [C, 3, 3] layout only
+            # ever exists at chunk size
+            return (e_c.T, jnp.transpose(Ji_c, (1, 2, 0)),
+                    jnp.transpose(Jj_c, (1, 2, 0)))
 
         n_chunks = ec // jac_chunk
-        xi = graph.poses[graph.edge_i].reshape(n_chunks, jac_chunk, 3)
-        xj = graph.poses[graph.edge_j].reshape(n_chunks, jac_chunk, 3)
-        meas = graph.edge_meas.reshape(n_chunks, jac_chunk, 3)
-        e, Ji, Jj = jax.lax.map(chunk_fn, (xi, xj, meas))
-        e = e.reshape(ec, 3)
-        Ji = Ji.reshape(ec, 3, 3)
-        Jj = Jj.reshape(ec, 3, 3)
+        measT_chunks = jnp.moveaxis(
+            graph.edge_meas.T.reshape(3, n_chunks, jac_chunk), 1, 0
+        )
+        eT, JiT, JjT = jax.lax.map(chunk_fn, (
+            graph.edge_i.reshape(n_chunks, jac_chunk),
+            graph.edge_j.reshape(n_chunks, jac_chunk),
+            measT_chunks,
+        ))
+        eT = jnp.moveaxis(eT, 0, 1).reshape(3, ec)
+        JiT = jnp.moveaxis(JiT, 0, 2).reshape(3, 3, ec)
+        JjT = jnp.moveaxis(JjT, 0, 2).reshape(3, 3, ec)
     else:
         xi = graph.poses[graph.edge_i]
         xj = graph.poses[graph.edge_j]
-        e = _edge_res(xi, xj, graph.edge_meas)
+        eT = _edge_res(xi, xj, graph.edge_meas).T
         Ji, Jj = _edge_jac(jnp.zeros(3), jnp.zeros(3), xi, xj, graph.edge_meas)
-    omega = graph.edge_info
-    chi_e = jnp.sum(e * e * omega, axis=-1)
+        JiT = jnp.transpose(Ji, (1, 2, 0))
+        JjT = jnp.transpose(Jj, (1, 2, 0))
+    omegaT = graph.edge_info.T                                # [3, E]
+    chi_e = jnp.sum(eT * eT * omegaT, axis=0)                 # [E]
     if chi_threshold > 0:
-        w = jnp.where(chi_e < chi_threshold, 1.0, chi_threshold / jnp.maximum(chi_e, 1e-20))
+        w = jnp.where(chi_e < chi_threshold, 1.0,
+                      chi_threshold / jnp.maximum(chi_e, 1e-20))
     else:
         w = jnp.ones_like(chi_e)
     w = jnp.where(graph.edge_valid, w, 0.0)
-    wo = w[:, None] * omega  # [E, 3]
+    woT = w[None, :] * omegaT                                 # [3, E]
     chi = jnp.sum(jnp.where(graph.edge_valid, chi_e, 0.0))
-    return Ji, Jj, wo, e, chi
+    return JiT, JjT, woT, eT, chi
 
 
-def _apply_H(graph: PoseGraph, Ji, Jj, wo, diag_extra, x, order=None):
-    """y = (H + diag_extra) x without materializing H. x: [V, 3]."""
-    v = graph.var_capacity
-    xi = x[graph.edge_i]  # [E, 3]
-    xj = x[graph.edge_j]
-    # u_e = Omega_w (Ji xi + Jj xj)
-    u = wo * (
-        jnp.einsum("eij,ej->ei", Ji, xi) + jnp.einsum("eij,ej->ei", Jj, xj)
+def _gather_x(x3, idx):
+    """(x0, x1, x2) [V]-tuples gathered at [E] indices -> 3 x [E]."""
+    return tuple(c[idx] for c in x3)
+
+
+def _jtu(JT, u):
+    """y_i = sum_k JT[k, i, :] * u[k] for 3-component u ([3, E] stack)."""
+    return tuple(
+        JT[0, i] * u[0] + JT[1, i] * u[1] + JT[2, i] * u[2] for i in range(3)
     )
-    yi = jnp.einsum("eji,ej->ei", Ji, u)  # Ji^T u
-    yj = jnp.einsum("eji,ej->ei", Jj, u)
-    y = _scatter_rows(yi, yj, v, graph, order)
-    return y + diag_extra[:, None] * x
 
 
-def _block_jacobi(graph: PoseGraph, Ji, Jj, wo, diag_extra, order=None):
-    """Inverse 3x3 diagonal blocks of H (preconditioner)."""
+def _apply_H(graph: PoseGraph, JiT, JjT, woT, diag_extra, x3, order=None):
+    """y = (H + diag_extra) x without materializing H. x3: 3-tuple of [V]."""
     v = graph.var_capacity
-    Hii = jnp.einsum("eki,ek,ekj->eij", Ji, wo, Ji)
-    Hjj = jnp.einsum("eki,ek,ekj->eij", Jj, wo, Jj)
-    D = _scatter_rows(Hii.reshape(-1, 9), Hjj.reshape(-1, 9), v, graph, order)
-    D = D.reshape(v, 3, 3) + diag_extra[:, None, None] * jnp.eye(3)
-    return jnp.linalg.inv(D)
+    xi = _gather_x(x3, graph.edge_i)
+    xj = _gather_x(x3, graph.edge_j)
+    # u_k = w*omega_k * (sum_i Ji[k,i] xi_i + Jj[k,i] xj_i)
+    u = tuple(
+        woT[k] * (JiT[k, 0] * xi[0] + JiT[k, 1] * xi[1] + JiT[k, 2] * xi[2]
+                  + JjT[k, 0] * xj[0] + JjT[k, 1] * xj[1] + JjT[k, 2] * xj[2])
+        for k in range(3)
+    )
+    yi = _jtu(JiT, u)
+    yj = _jtu(JjT, u)
+    return tuple(
+        _scatter1(yi[i], yj[i], v, graph, order) + diag_extra * x3[i]
+        for i in range(3)
+    )
 
 
-def _pcg(apply_h, precond, b, iters: int, tol: float):
-    """Standard PCG on the [V, 3] block vector space."""
+def _block_jacobi(graph: PoseGraph, JiT, JjT, woT, diag_extra, order=None):
+    """Inverse 3x3 diagonal blocks of H (preconditioner) as 9 [V] components
+    (D_ij), inverted in closed form (adjugate / det)."""
+    v = graph.var_capacity
+    D = {}
+    for i in range(3):
+        for j in range(i, 3):
+            hii = (JiT[0, i] * woT[0] * JiT[0, j]
+                   + JiT[1, i] * woT[1] * JiT[1, j]
+                   + JiT[2, i] * woT[2] * JiT[2, j])
+            hjj = (JjT[0, i] * woT[0] * JjT[0, j]
+                   + JjT[1, i] * woT[1] * JjT[1, j]
+                   + JjT[2, i] * woT[2] * JjT[2, j])
+            D[i, j] = _scatter1(hii, hjj, v, graph, order)
+            if i == j:
+                D[i, j] = D[i, j] + diag_extra
+    a, b_, c = D[0, 0], D[0, 1], D[0, 2]
+    d, e_ = D[1, 1], D[1, 2]
+    f = D[2, 2]
+    # symmetric 3x3 inverse via cofactors
+    A = d * f - e_ * e_
+    B = c * e_ - b_ * f
+    C = b_ * e_ - c * d
+    Dd = a * f - c * c
+    E = b_ * c - a * e_
+    F = a * d - b_ * b_
+    det = a * A + b_ * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    safe = jnp.abs(det) > 1e-30
+    P = {}
+    P[0, 0], P[0, 1], P[0, 2] = A * inv_det, B * inv_det, C * inv_det
+    P[1, 1], P[1, 2] = Dd * inv_det, E * inv_det
+    P[2, 2] = F * inv_det
+    # degenerate rows (empty variables): identity, keeps PCG well-posed
+    P[0, 0] = jnp.where(safe, P[0, 0], 1.0)
+    P[1, 1] = jnp.where(safe, P[1, 1], 1.0)
+    P[2, 2] = jnp.where(safe, P[2, 2], 1.0)
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        P[i, j] = jnp.where(safe, P[i, j], 0.0)
+        P[j, i] = P[i, j]
+    P[1, 0], P[2, 0], P[2, 1] = P[0, 1], P[0, 2], P[1, 2]
+    return P
 
-    def dot(a, c):
-        return jnp.sum(a * c)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = jnp.einsum("vij,vj->vi", precond, r0)
+def _apply_precond(P, r3):
+    return tuple(
+        P[i, 0] * r3[0] + P[i, 1] * r3[1] + P[i, 2] * r3[2] for i in range(3)
+    )
+
+
+def _pcg(apply_h, P, b3, iters: int, tol: float):
+    """Standard PCG on the component ([V] x 3) block vector space."""
+
+    def dot(a3, c3):
+        return sum(jnp.sum(a * c) for a, c in zip(a3, c3))
+
+    x0 = tuple(jnp.zeros_like(b) for b in b3)
+    r0 = b3
+    z0 = _apply_precond(P, r0)
     p0 = z0
     rz0 = dot(r0, z0)
-    b2 = jnp.maximum(dot(b, b), 1e-30)
+    b2 = jnp.maximum(dot(b3, b3), 1e-30)
 
     def body(state):
         k, x, r, p, rz = state
         hp = apply_h(p)
         alpha = rz / jnp.maximum(dot(p, hp), 1e-30)
-        x = x + alpha * p
-        r = r - alpha * hp
-        z = jnp.einsum("vij,vj->vi", precond, r)
+        x = tuple(xc + alpha * pc for xc, pc in zip(x, p))
+        r = tuple(rc - alpha * hc for rc, hc in zip(r, hp))
+        z = _apply_precond(P, r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
+        p = tuple(zc + beta * pc for zc, pc in zip(z, p))
         return k + 1, x, r, p, rz_new
 
     def cond(state):
@@ -193,20 +295,26 @@ def optimize_cg(cfg: CGConfig, graph: PoseGraph, order: EdgeOrder | None = None
     def body(state):
         it, poses, chi_prev, _ = state
         g = graph._replace(poses=poses)
-        Ji, Jj, wo, e, chi = _linearize_blocks(g, cfg.chi_threshold, cfg.jac_chunk)
-        # b = J^T Omega_w e (gradient)
-        u = wo * e
-        bi = jnp.einsum("eji,ej->ei", Ji, u)
-        bj = jnp.einsum("eji,ej->ei", Jj, u)
-        b = _scatter_rows(bi, bj, graph.var_capacity, graph, order)
-        precond = _block_jacobi(g, Ji, Jj, wo, diag_extra, order)
-        dx = _pcg(
-            lambda x: _apply_H(g, Ji, Jj, wo, diag_extra, x, order),
-            precond,
-            -b,
+        JiT, JjT, woT, eT, chi = _linearize_blocks(
+            g, cfg.chi_threshold, cfg.jac_chunk
+        )
+        # b = J^T Omega_w e (gradient), per component
+        u = tuple(woT[k] * eT[k] for k in range(3))
+        bi = _jtu(JiT, u)
+        bj = _jtu(JjT, u)
+        b3 = tuple(
+            _scatter1(bi[i], bj[i], graph.var_capacity, graph, order)
+            for i in range(3)
+        )
+        P = _block_jacobi(g, JiT, JjT, woT, diag_extra, order)
+        dx3 = _pcg(
+            lambda x3: _apply_H(g, JiT, JjT, woT, diag_extra, x3, order),
+            P,
+            tuple(-b for b in b3),
             cfg.cg_iterations,
             cfg.cg_tolerance,
         )
+        dx = jnp.stack(dx3, axis=1)                           # [V, 3]
         dx = jnp.where(movable[:, None], dx, 0.0)
         return it + 1, geometry.compose(dx, poses), chi, chi_prev
 

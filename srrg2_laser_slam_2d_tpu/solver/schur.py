@@ -57,6 +57,12 @@ class Partitioning(NamedTuple):
     ej_local: Array
     edge_perm: Array
     edge_mask: Array
+    # LOCAL separator slots (r4): sep_local_idx[p, l] = GLOBAL separator
+    # slot (0..S-1) of partition p's l-th local separator variable (pad: S).
+    # Per-partition dense systems are [3(I+L)]-sized with L = max local
+    # separator count, NOT [3(I+S)] — the O(P*I*S) H_is materialization was
+    # the blocker past ~4k nodes (a 65k chain needed a 10 GB H_is).
+    sep_local_idx: Array
 
     @property
     def n_parts(self) -> int:
@@ -73,6 +79,10 @@ class Partitioning(NamedTuple):
     @property
     def edges_per_part(self) -> int:
         return self.edge_perm.shape[1]
+
+    @property
+    def sep_local_cap(self) -> int:
+        return self.sep_local_idx.shape[1]
 
 
 def _pow2(n: int) -> int:
@@ -125,12 +135,49 @@ def partition_graph(graph: PoseGraph, n_parts: int,
 
     # edge ownership: partition of endpoint i. A cross-partition edge has
     # BOTH endpoints in the separator (by construction above), so every edge's
-    # endpoints are addressable in its owner's [interior_p ++ separator] frame.
+    # endpoints are addressable in its owner's [interior_p ++ local-sep] frame.
     edge_part = np.where(ev, part_of[ei], 0).astype(np.int64)
-    ei_local = np.where(is_sep[ei], i_cap + sep_slot[ei], int_rank[ei])
-    ej_local = np.where(is_sep[ej], i_cap + sep_slot[ej], int_rank[ej])
-    ei_local = np.where(ev, ei_local, 0).astype(np.int32)
-    ej_local = np.where(ev, ej_local, 0).astype(np.int32)
+
+    # ---- per-partition LOCAL separator sets ----
+    # pairs (owner partition, global separator slot) from owned edges'
+    # separator endpoints, plus every separator var's home partition (so its
+    # reduced-system row exists even with no owned edge)
+    s_len = len(sep_list)
+    valid_idx = np.where(ev)[0]
+    own_e = edge_part[valid_idx]
+    pair_keys = []
+    for endp in (ei, ej):
+        v_ = endp[valid_idx]
+        m = is_sep[v_]
+        pair_keys.append(own_e[m] * s_len + sep_slot[v_[m]])
+    pair_keys.append(part_of[sep_list] * s_len + np.arange(s_len))
+    uniq = np.unique(np.concatenate(pair_keys)) if s_len else np.zeros(0, np.int64)
+    up_, ul_ = uniq // max(s_len, 1), uniq % max(s_len, 1)
+    cnt_l = np.bincount(up_, minlength=n_parts)
+    start_l = np.concatenate([[0], np.cumsum(cnt_l)[:-1]])
+    l_cap = _pow2(int(cnt_l.max()) if len(uniq) else 1)
+    sep_local_idx = np.full((n_parts, l_cap), s_cap, np.int32)
+    ranks_l = np.arange(len(uniq)) - start_l[up_]
+    sep_local_idx[up_, ranks_l] = ul_
+
+    def _local_sep_rank(p_arr, slot_arr):
+        key = p_arr * s_len + slot_arr
+        pos = np.searchsorted(uniq, key)
+        return (pos - start_l[p_arr]).astype(np.int64)
+
+    sep_i = is_sep[ei]
+    sep_j = is_sep[ej]
+    ei_local = np.where(ev, int_rank[ei], 0)
+    ej_local = np.where(ev, int_rank[ej], 0)
+    mi = ev & sep_i
+    mj = ev & sep_j
+    if s_len:
+        ei_local = ei_local.copy()
+        ej_local = ej_local.copy()
+        ei_local[mi] = i_cap + _local_sep_rank(edge_part[mi], sep_slot[ei[mi]])
+        ej_local[mj] = i_cap + _local_sep_rank(edge_part[mj], sep_slot[ej[mj]])
+    ei_local = ei_local.astype(np.int32)
+    ej_local = ej_local.astype(np.int32)
 
     # per-partition contiguous edge slices (stable sort by owner)
     valid_e = np.where(ev)[0]
@@ -152,7 +199,40 @@ def partition_graph(graph: PoseGraph, n_parts: int,
         ej_local=jnp.asarray(ej_local),
         edge_perm=jnp.asarray(edge_perm),
         edge_mask=jnp.asarray(edge_mask),
+        sep_local_idx=jnp.asarray(sep_local_idx),
     )
+
+
+def _eliminate(Hp, bp, rows3, anchor_sep, d_i: int, d_s: int):
+    """Interior elimination + reduced-system assembly + separator solve.
+
+    Numerics (r4): the elimination runs in f32 but via BACKWARD-STABLE LU
+    solves (``jnp.linalg.solve``) rather than explicit ``inv`` — pose
+    CHAINS have beam-like interior Hessians whose transverse modes scale as
+    n^-4, and inv() + multiply put O(eps * cond) error anywhere, which made
+    the assembled reduced system INDEFINITE (eigenvalues at -36 on a
+    256-node chain; NaN poses). With solves, the computed complement is the
+    exact complement of a nearby PSD matrix, so S_red stays PSD to O(eps);
+    the separator damping absorbs the residual. (f64 would also work
+    numerically but XLA:TPU cannot compile f64 linalg.)
+
+    Returns (dx_s [dS], y [P, dI], G [P, dI, dL])."""
+    H_ii = Hp[:, :d_i, :d_i]
+    H_il = Hp[:, :d_i, d_i:]
+    H_ll_p = Hp[:, d_i:, d_i:]
+    b_i = bp[:, :d_i]
+    b_l_p = bp[:, d_i:]
+    G = jnp.linalg.solve(H_ii, H_il)                         # [P, dI, dL]
+    y = jnp.linalg.solve(H_ii, b_i[..., None])[..., 0]       # [P, dI]
+    S_loc = H_ll_p - jnp.einsum("pji,pjk->pik", H_il, G)
+    b_loc = b_l_p - jnp.einsum("pji,pj->pi", H_il, y)
+    # local -> global reduced system (scatter-add; pad rows drop)
+    S_red = jnp.zeros((d_s + 1, d_s + 1))
+    S_red = S_red.at[rows3[:, :, None], rows3[:, None, :]].add(S_loc)
+    S_red = S_red[:d_s, :d_s] + jnp.diag(jnp.repeat(anchor_sep, 3))
+    b_red = jnp.zeros(d_s + 1).at[rows3].add(b_loc)[:d_s]
+    dx_s = jnp.linalg.solve(S_red, -b_red)
+    return dx_s, y, G
 
 
 def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
@@ -168,35 +248,56 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
     n_dev = mesh.shape[GRAPH_AXIS]
     assert part.n_parts % n_dev == 0, (part.n_parts, n_dev)
 
+    d_s_g = 3 * part.separator_cap
+    d_l_g = 3 * part.sep_local_cap
+    rows3 = jnp.minimum(
+        3 * part.sep_local_idx[:, :, None] + jnp.arange(3)[None, None, :],
+        d_s_g,
+    ).reshape(part.n_parts, d_l_g)
+    v_cap_g = graph.var_capacity
+    sep_fixed = jnp.concatenate([graph.var_fixed, jnp.zeros(1, bool)])[
+        jnp.minimum(part.separator_idx, v_cap_g)]
+    sep_valid = jnp.concatenate([graph.var_valid, jnp.zeros(1, bool)])[
+        jnp.minimum(part.separator_idx, v_cap_g)]
+    anchor_sep = jnp.where(
+        (part.separator_idx >= v_cap_g) | sep_fixed | ~sep_valid,
+        cfg.anchor_weight, cfg.damping,
+    )
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS, None)),
+        in_specs=(P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS, None),
+                  P_(GRAPH_AXIS, None)),
         out_specs=P_(),
         check_vma=False,
     )
-    def device_step(poses, my_parts, my_interior_idx):
+    def device_step(poses, my_parts, my_interior_idx, my_rows3):
         Hp, bp, chi_p = _partition_systems(cfg, graph, part, poses, my_parts)
         d_i = 3 * part.interior_cap
+        d_s = 3 * part.separator_cap
+        # solve-based f32 elimination (see _eliminate); the psum of the
+        # reduced system is the only cross-chip traffic — separator-sized
         H_ii = Hp[:, :d_i, :d_i]
-        H_is = Hp[:, :d_i, d_i:]
-        H_ss_l = jnp.sum(Hp[:, d_i:, d_i:], 0)
+        H_il = Hp[:, :d_i, d_i:]
+        H_ll_p = Hp[:, d_i:, d_i:]
         b_i = bp[:, :d_i]
-        b_s_l = jnp.sum(bp[:, d_i:], 0)
-        Hii_inv = jnp.linalg.inv(H_ii)
-        G = jnp.einsum("pij,pjk->pik", Hii_inv, H_is)
-        S_l = H_ss_l - jnp.einsum("pji,pjk->ik", H_is, G)
-        b_l = b_s_l - jnp.einsum(
-            "pji,pj->i", H_is, jnp.einsum("pij,pj->pi", Hii_inv, b_i)
+        b_l_p = bp[:, d_i:]
+        G = jnp.linalg.solve(H_ii, H_il)
+        y = jnp.linalg.solve(H_ii, b_i[..., None])[..., 0]
+        S_loc = H_ll_p - jnp.einsum("pji,pjk->pik", H_il, G)
+        b_loc = b_l_p - jnp.einsum("pji,pj->pi", H_il, y)
+        S_l = jnp.zeros((d_s + 1, d_s + 1))
+        S_l = S_l.at[my_rows3[:, :, None], my_rows3[:, None, :]].add(S_loc)
+        b_l = jnp.zeros(d_s + 1).at[my_rows3].add(b_loc)
+        S_red = jax.lax.psum(S_l[:d_s, :d_s], GRAPH_AXIS) + jnp.diag(
+            jnp.repeat(anchor_sep, 3)
         )
-        # ICI reduction of the separator system (the only cross-chip traffic)
-        S_red = jax.lax.psum(S_l, GRAPH_AXIS)
-        b_red = jax.lax.psum(b_l, GRAPH_AXIS)
-        chi = jax.lax.psum(jnp.sum(chi_p), GRAPH_AXIS)
+        b_red = jax.lax.psum(b_l[:d_s], GRAPH_AXIS)
         dx_s = jnp.linalg.solve(S_red, -b_red)
-        dx_i = -jnp.einsum("pij,pj->pi", Hii_inv, b_i) - jnp.einsum(
-            "pik,k->pi", G, dx_s
-        )
+        chi = jax.lax.psum(jnp.sum(chi_p), GRAPH_AXIS)
+        dx_sl = jnp.concatenate([dx_s, jnp.zeros(1)])[my_rows3]
+        dx_i = -y - jnp.einsum("pik,pk->pi", G, dx_sl)
         v_cap = graph.var_capacity
         dxg = jnp.zeros((v_cap + 1, 3))
         dxg = dxg.at[my_interior_idx.reshape(-1)].add(
@@ -213,7 +314,7 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
     def run(poses0):
         def body(state):
             it, poses, chi_prev, _ = state
-            dx, chi = device_step(poses, parts_arr, part.interior_idx)
+            dx, chi = device_step(poses, parts_arr, part.interior_idx, rows3)
             dx = jnp.where(movable[:, None], dx, 0.0)
             return it + 1, geometry.compose(dx, poses), chi, chi_prev
 
@@ -222,10 +323,13 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
             decayed = jnp.abs(chi_prev - chi) < cfg.epsilon * jnp.maximum(chi_prev, 1e-20)
             return (it < cfg.max_iterations) & ~((it > 1) & decayed)
 
-        return jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), poses0, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
-        )
+        # f32 matmuls for the dense elimination — same divergence-on-TPU
+        # fix as optimize_schur
+        with jax.default_matmul_precision("float32"):
+            return jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), poses0, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
+            )
 
     it, poses, chi, _ = run(graph.poses)
     return graph._replace(poses=poses), chi, it
@@ -239,7 +343,7 @@ def _partition_systems(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
     edge slice (part.edge_perm) and linearizes those — no masked all-edge
     einsums (the round-1/2 review's Schur memory/work finding)."""
     v_cap = graph.var_capacity
-    I, S = part.interior_cap, part.separator_cap
+    I, L = part.interior_cap, part.sep_local_cap
     anchor = jnp.where(
         graph.var_fixed | ~graph.var_valid, cfg.anchor_weight, cfg.damping
     )
@@ -262,31 +366,63 @@ def _partition_systems(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
         w = jnp.where(valid, w, 0.0)
         wo = w[:, None] * omega
 
-        n_loc = I + S
-        H = jnp.zeros((n_loc, 3, n_loc, 3), jnp.float32)
-        b = jnp.zeros((n_loc, 3), jnp.float32)
+        # LOCAL frame: [interior_p (I) ++ local separator (L)] — dense size
+        # is O(I + L) per partition, independent of the global separator.
+        # H accumulates FLAT ([n3*n3] with linear indices): a block-indexed
+        # [n_loc, 3, n_loc, 3] buffer pads each trailing 3 to a (4, 128)
+        # tile — 19.4 GB at P=512, n_loc=136 (the r4 chain-compile OOM).
+        n_loc = I + L
+        n3 = 3 * n_loc
+        io_r = jnp.arange(3)[None, :, None]
+        io_c = jnp.arange(3)[None, None, :]
+
+        def flat(lr, lc):
+            r = 3 * lr[:, None, None] + io_r
+            c = 3 * lc[:, None, None] + io_c
+            return (r * n3 + c).reshape(-1)
+
         Hii_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo, Ji)
         Hjj_e = jnp.einsum("eki,ek,ekj->eij", Jj, wo, Jj)
         Hij_e = jnp.einsum("eki,ek,ekj->eij", Ji, wo, Jj)
         bi_e = jnp.einsum("eki,ek,ek->ei", Ji, wo, e)
         bj_e = jnp.einsum("eki,ek,ek->ei", Jj, wo, e)
         li, lj = part.ei_local[perm], part.ej_local[perm]
-        H = H.at[li, :, li, :].add(Hii_e)
-        H = H.at[lj, :, lj, :].add(Hjj_e)
-        H = H.at[li, :, lj, :].add(Hij_e)
-        H = H.at[lj, :, li, :].add(jnp.swapaxes(Hij_e, -1, -2))
-        b = b.at[li].add(bi_e).at[lj].add(bj_e)
-        own_gids = jnp.concatenate([part.interior_idx[p], part.separator_idx])
+        H = (
+            jnp.zeros(n3 * n3, jnp.float32)
+            .at[flat(li, li)].add(Hii_e.reshape(-1))
+            .at[flat(lj, lj)].add(Hjj_e.reshape(-1))
+            .at[flat(li, lj)].add(Hij_e.reshape(-1))
+            .at[flat(lj, li)].add(
+                jnp.swapaxes(Hij_e, -1, -2).reshape(-1))
+        )
+        b = (
+            jnp.zeros(n3, jnp.float32)
+            .at[(3 * li[:, None] + jnp.arange(3)[None, :]).reshape(-1)]
+            .add(bi_e.reshape(-1))
+            .at[(3 * lj[:, None] + jnp.arange(3)[None, :]).reshape(-1)]
+            .add(bj_e.reshape(-1))
+        )
+        # interior anchors/damping only; separator anchors are applied ONCE
+        # on the reduced system by the driver (a local separator slot exists
+        # in every partition that touches the variable)
+        own_gids = part.interior_idx[p]
         own_anchor = jnp.concatenate([anchor, jnp.zeros(1)])[
             jnp.minimum(own_gids, v_cap)
         ]
-        scale = jnp.concatenate([jnp.ones(I), jnp.full((S,), 1.0 / part.n_parts)])
-        invalid_slot = own_gids >= v_cap
-        diag_add = jnp.where(invalid_slot, cfg.anchor_weight, own_anchor * scale)
-        slots = jnp.arange(n_loc)
-        H = H.at[slots, :, slots, :].add(diag_add[:, None, None] * jnp.eye(3)[None])
+        # pad slots are decoupled — any positive diag works; matching the
+        # edge-information scale (1.0) keeps cond(H_ii) f32-friendly
+        # (anchor_weight=1e6 here put cond at 1e12 on chains)
+        diag_add = jnp.where(own_gids >= v_cap, 1.0, own_anchor)
+        # empty local-separator slots get a unit diag so H_ii/H stay
+        # invertible wherever sliced (they never touch the reduced system)
+        empty_sep = part.sep_local_idx[p] >= part.separator_cap
+        diag_all = jnp.repeat(
+            jnp.concatenate([diag_add, jnp.where(empty_sep, 1.0, 0.0)]), 3
+        )
+        dslots = jnp.arange(n3)
+        H = H.at[dslots * n3 + dslots].add(diag_all)
         chi_mine = jnp.sum(jnp.where(valid, chi_e, 0.0))
-        return H.reshape(3 * n_loc, 3 * n_loc), b.reshape(3 * n_loc), chi_mine
+        return H.reshape(n3, n3), b, chi_mine
 
     return jax.vmap(build_partition)(part_ids)
 
@@ -299,30 +435,35 @@ def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
     mesh; the psum-equivalent is the sum over the partition axis."""
     v_cap = graph.var_capacity
     P, I = part.n_parts, part.interior_cap
-    S = part.separator_cap
-    d_i, d_s = 3 * I, 3 * S
+    S, L = part.separator_cap, part.sep_local_cap
+    d_i, d_s, d_l = 3 * I, 3 * S, 3 * L
+
+    # [P, dL] global ROW index of each local separator row (pad -> d_s,
+    # the drop row of the (d_s+3)-sized scatter targets)
+    rows3 = jnp.minimum(
+        3 * part.sep_local_idx[:, :, None] + jnp.arange(3)[None, None, :],
+        d_s,
+    ).reshape(P, d_l)
+    anchor_sep = jnp.where(
+        part.separator_idx >= v_cap,
+        cfg.anchor_weight,
+        jnp.where(
+            jnp.concatenate([graph.var_fixed, jnp.zeros(1, bool)])[
+                jnp.minimum(part.separator_idx, v_cap)]
+            | ~jnp.concatenate([graph.var_valid, jnp.zeros(1, bool)])[
+                jnp.minimum(part.separator_idx, v_cap)],
+            cfg.anchor_weight, cfg.damping,
+        ),
+    )
 
     def gn_step(poses):
         Hp, bp, chi_p = _partition_systems(cfg, graph, part, poses,
                                            jnp.arange(P))
         chi = jnp.sum(chi_p)
-        H_ii = Hp[:, :d_i, :d_i]
-        H_is = Hp[:, :d_i, d_i:]
-        H_ss_p = Hp[:, d_i:, d_i:]
-        b_i = bp[:, :d_i]
-        b_s_p = bp[:, d_i:]
-
-        # interior elimination (dense per partition; MXU batched solves)
-        Hii_inv = jnp.linalg.inv(H_ii)                       # [P, dI, dI]
-        G = jnp.einsum("pij,pjk->pik", Hii_inv, H_is)        # Hii^-1 His
-        S_red = jnp.sum(H_ss_p, 0) - jnp.einsum("pji,pjk->ik", H_is, G)
-        b_red = jnp.sum(b_s_p, 0) - jnp.einsum("pji,pj->i", H_is,
-                                               jnp.einsum("pij,pj->pi", Hii_inv, b_i))
-        dx_s = jnp.linalg.solve(S_red, -b_red)               # [dS]
-        # back-substitution
-        dx_i = -jnp.einsum("pij,pj->pi", Hii_inv, b_i) - jnp.einsum(
-            "pik,k->pi", G, dx_s
-        )                                                     # [P, dI]
+        dx_s, y, G = _eliminate(Hp, bp, rows3, anchor_sep, d_i, d_s)
+        # back-substitution through the local frames
+        dx_sl = jnp.concatenate([dx_s, jnp.zeros(1)])[rows3]  # [P, dL]
+        dx_i = -y - jnp.einsum("pik,pk->pi", G, dx_sl)       # [P, dI]
 
         # scatter increments back to global variables
         dx = jnp.zeros((v_cap + 1, 3))
@@ -345,8 +486,14 @@ def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
         decayed = jnp.abs(chi_prev - chi) < cfg.epsilon * jnp.maximum(chi_prev, 1e-20)
         return (it < cfg.max_iterations) & ~((it > 1) & decayed)
 
-    it, poses, chi, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), graph.poses, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
-    )
+    # full-f32 matmuls: the TPU default (bf16 passes) destroys the dense
+    # interior elimination — Hii^-1 on 3I-sized blocks diverged on-device
+    # (r4: chi 962k vs the CPU/CG 120 on the same graph) while every CPU
+    # test passed. Tracing inside this context pins every einsum /
+    # linalg.inv / solve in the loop to float32.
+    with jax.default_matmul_precision("float32"):
+        it, poses, chi, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), graph.poses, jnp.float32(jnp.inf), jnp.float32(jnp.inf)),
+        )
     return graph._replace(poses=poses), chi, it

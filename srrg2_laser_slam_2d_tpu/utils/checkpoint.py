@@ -32,17 +32,6 @@ def save(path: str, slam, trajectory=None) -> None:
         arrays[f"scene.{m}.xy"] = np.asarray(scene.xy)
         arrays[f"scene.{m}.normal"] = np.asarray(scene.normal)
         arrays[f"scene.{m}.valid"] = np.asarray(scene.valid)
-    ts = slam.tracker.state
-    arrays["tracker.scene.xy"] = np.asarray(ts.scene.xy)
-    arrays["tracker.scene.normal"] = np.asarray(ts.scene.normal)
-    arrays["tracker.scene.valid"] = np.asarray(ts.scene.valid)
-    arrays["tracker.robot_in_local_map"] = np.asarray(ts.robot_in_local_map)
-    arrays["tracker.last_odom"] = np.asarray(ts.last_odom)
-    arrays["tracker.sensor_in_robot"] = np.asarray(ts.sensor_in_robot)
-    if trajectory:
-        arrays["trajectory.t"] = np.asarray([t for t, _, _ in trajectory])
-        arrays["trajectory.pose"] = np.stack([p for _, p, _ in trajectory])
-
     meta = {
         "n_maps": slam.n_maps,
         "n_edges": slam.n_edges,
@@ -50,9 +39,35 @@ def save(path: str, slam, trajectory=None) -> None:
         "num_closures": slam.num_closures,
         "relocalizations": slam.relocalizations,
         "adjacency": [sorted(s) for s in slam.adjacency],
-        "tracker.has_odom": bool(ts.has_odom),
-        "tracker.seeded": slam.tracker._seeded,
     }
+    tracker = slam.tracker
+    if hasattr(tracker, "spec"):
+        # fast tracker (models/fast_tracker.FastTracker): pending payloads
+        # fold into the scene on flush; cacheT + pose carry everything else
+        meta["tracker.kind"] = "fast"
+        tracker.flush()
+        fs = tracker.state
+        meta["tracker.seeded"] = fs is not None
+        if fs is not None:
+            arrays["tracker.scene.xy"] = np.asarray(fs.scene.xy)
+            arrays["tracker.scene.normal"] = np.asarray(fs.scene.normal)
+            arrays["tracker.scene.valid"] = np.asarray(fs.scene.valid)
+            arrays["fast.cacheT"] = np.asarray(fs.cacheT)
+            arrays["fast.pose"] = np.asarray(fs.pose)
+    else:
+        meta["tracker.kind"] = "xla"
+        ts = tracker.state
+        arrays["tracker.scene.xy"] = np.asarray(ts.scene.xy)
+        arrays["tracker.scene.normal"] = np.asarray(ts.scene.normal)
+        arrays["tracker.scene.valid"] = np.asarray(ts.scene.valid)
+        arrays["tracker.robot_in_local_map"] = np.asarray(ts.robot_in_local_map)
+        arrays["tracker.last_odom"] = np.asarray(ts.last_odom)
+        arrays["tracker.sensor_in_robot"] = np.asarray(ts.sensor_in_robot)
+        meta["tracker.has_odom"] = bool(ts.has_odom)
+        meta["tracker.seeded"] = tracker._seeded
+    if trajectory:
+        arrays["trajectory.t"] = np.asarray([t for t, _, _ in trajectory])
+        arrays["trajectory.pose"] = np.stack([p for _, p, _ in trajectory])
     base = path[:-4] if path.endswith(".npz") else path
     np.savez_compressed(base + ".npz", **arrays)
     with open(base + ".meta.json", "w") as f:
@@ -90,6 +105,23 @@ def load(path: str, slam) -> None:
             )
         else:
             slam.scenes.append(None)
+    if meta.get("tracker.kind", "xla") == "fast":
+        from ..models.fast_tracker import FastState
+
+        slam.tracker._pending = []
+        if meta["tracker.seeded"]:
+            slam.tracker.state = FastState(
+                cacheT=jnp.asarray(data["fast.cacheT"]),
+                pose=jnp.asarray(data["fast.pose"]),
+                scene=Cloud(
+                    xy=jnp.asarray(data["tracker.scene.xy"]),
+                    normal=jnp.asarray(data["tracker.scene.normal"]),
+                    valid=jnp.asarray(data["tracker.scene.valid"]),
+                ),
+            )
+        else:
+            slam.tracker.state = None
+        return
     ts = slam.tracker.state
     slam.tracker.state = ts._replace(
         scene=Cloud(

@@ -50,11 +50,18 @@ def test_slam_app_end_to_end(log_and_gt, tmp_path):
 def test_bench_app_gate(log_and_gt, tmp_path):
     log, gt = log_and_gt
     timing = str(tmp_path / "timing.txt")
+    art = str(tmp_path / "result.json")
     rc = generic_bench_app.main(
-        ["-i", log, "--gt", gt, "-t", timing, "--gate", "simul"]
+        ["-i", log, "--gt", gt, "-t", timing, "--gate", "simul",
+         "--json-out", art]
     )
     assert rc == 0
     assert "mean_frame_hz" in open(timing).read()
+    # the recorded artifact (corridor_r04.json-style) carries the verdict
+    a = json.load(open(art))
+    assert a["gate"] == "simul" and a["gate_verdict"] == "PASS"
+    assert a["ate"]["rmse_translation"] < 0.1
+    assert a["frames"] > 0 and a["graph_variables"] > 0
 
 
 def test_config_generation(tmp_path):
@@ -66,3 +73,32 @@ def test_config_generation(tmp_path):
     assert "GraphSLAMConfig" in classes
     assert "TrackerConfig" in classes
     assert "slam" in data["names"]
+
+
+def test_bench_app_dataset_config(log_and_gt, tmp_path):
+    """-c loads a per-dataset named assembly (benchmark_carmen.cpp reads
+    configs/killian.conf the same way); gates come from the file, not code."""
+    import dataclasses
+
+    from srrg2_laser_slam_2d_tpu.utils import config as config_mod, presets
+
+    log, gt = log_and_gt
+    cfg = presets.laser0_slam(num_beams=512, scene_capacity=2048,
+                              use_fast_tracker=False)
+    cfg = dataclasses.replace(
+        cfg, enable_loop_closure=False, enable_relocalizer=False
+    )
+    mgr = config_mod.ConfigManager()
+    mgr.add(cfg, "slam")
+    mgr.add(presets.laser0_preprocessor(), "preprocessor")
+    path = str(tmp_path / "dataset.json")
+    mgr.write(path)
+
+    art = str(tmp_path / "result.json")
+    rc = generic_bench_app.main(
+        ["-i", log, "--gt", gt, "-c", path, "--json-out", art,
+         "--max-frames", "8"]
+    )
+    assert rc == 0
+    a = json.load(open(art))
+    assert a["frames"] == 8

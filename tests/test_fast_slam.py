@@ -80,3 +80,42 @@ def test_fast_slam_loop_closure_and_relocalization():
     assert abs(cnv[0] - ref[0]) <= 1, (ref, cnv)   # topology within one split
     assert abs(cnv[1] - ref[1]) <= 0.2 * ref[1] + 1
     assert cnv[3] <= ref[3] + 0.15, (ref, cnv)
+
+
+def test_fast_slam_checkpoint_roundtrip(tmp_path):
+    """checkpoint.save/load must handle the fast tracker's FastState (the
+    r4 corridor acceptance run crashed on save: FastState has no
+    robot_in_local_map). Mirror of test_aux.test_checkpoint_roundtrip on
+    the use_fast_tracker path: save mid-run, restore into a fresh
+    instance, continue both, identical results."""
+    from srrg2_laser_slam_2d_tpu.models import slam as slam_mod
+    from srrg2_laser_slam_2d_tpu.utils import checkpoint
+
+    ds = synthetic.simulate(
+        synthetic.SyntheticConfig(steps=12, num_beams=512, max_variance=0.0,
+                                  drift=(0.11, 0.0, 0.0))
+    )
+    slam, pre = make_pipeline(ds, local_map_distance=0.5, enable_loops=False)
+    cfg = dataclasses.replace(slam.cfg, use_fast_tracker=True)
+    sensor = np.array(ds.config.sensor_in_robot, np.float32)
+    fast = slam_mod.GraphSLAM2D(cfg, sensor_in_robot=sensor)
+    clouds = [pre.compute(r) for r in ds.ranges]
+    for k in range(8):
+        fast.process(clouds[k], ds.robot_poses[k])
+
+    path = str(tmp_path / "fast_ckpt.npz")
+    checkpoint.save(path, fast)
+
+    fast2 = slam_mod.GraphSLAM2D(cfg, sensor_in_robot=sensor)
+    checkpoint.load(path, fast2)
+    assert fast2.n_maps == fast.n_maps
+    assert fast2.current_map == fast.current_map
+    np.testing.assert_allclose(
+        np.asarray(fast2.graph.poses), np.asarray(fast.graph.poses)
+    )
+    for k in range(8, 13):
+        fast.process(clouds[k], ds.robot_poses[k])
+        fast2.process(clouds[k], ds.robot_poses[k])
+    np.testing.assert_allclose(fast.robot_in_world(), fast2.robot_in_world(),
+                               atol=1e-6)
+    assert fast.n_maps == fast2.n_maps
