@@ -102,12 +102,14 @@ def run_tpu_bench() -> float:
             r = stream_bench.measure_streams(
                 spec, state0, measC, stream_odoms, STREAMS
             )
-            return r["aggregate_scans_per_sec"]
+            return r["aggregate_scans_per_sec"], {
+                "mode": "k_stream", "streams": STREAMS,
+            }
         except Exception as e:  # tunnel flakiness: fall back to single-stream
             print(f"K-stream bench failed ({e!r}); single-stream fallback",
                   file=sys.stderr)
             r = stream_bench.measure_single(spec, state0, measC, stream_odoms)
-            return r["scans_per_sec"]
+            return r["scans_per_sec"], {"mode": "single_fallback", "streams": 1}
 
     run_once().block_until_ready()  # warmup/compile
     reps = 3
@@ -116,7 +118,7 @@ def run_tpu_bench() -> float:
         t0 = time.perf_counter()
         run_once().block_until_ready()
         best = min(best, time.perf_counter() - t0)
-    return frames / best
+    return frames / best, {"mode": "cpu_xla", "streams": 1}
 
 
 def cpp_baseline() -> float | None:
@@ -149,7 +151,7 @@ def cpp_baseline() -> float | None:
 
 
 def main() -> None:
-    value = run_tpu_bench()
+    value, meta = run_tpu_bench()
     base = cpp_baseline()
     vs = (value / base) if base else 0.0
     print(
@@ -159,6 +161,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "scans/sec/chip",
                 "vs_baseline": round(vs, 2),
+                **meta,
             }
         )
     )

@@ -32,8 +32,13 @@ class PGOBenchResult:
 
 
 def make_grid_graph(side: int, noise: float = 0.02, closure_every: int = 8,
-                    seed: int = 0) -> pgo.PoseGraph:
-    """side x side lattice graph with noisy edges and periodic long closures."""
+                    seed: int = 0, edge_align: int | None = None) -> pgo.PoseGraph:
+    """side x side lattice graph with noisy edges and periodic long closures.
+
+    ``edge_align``: edge-capacity alignment. Must match the solver's
+    ``jac_chunk`` when chunked linearization is used (run() passes it from
+    the same ``large`` decision — ADVICE r4: the two thresholds must not
+    diverge, or _linearize_blocks silently disables chunking)."""
     rng = np.random.default_rng(seed)
     v = side * side
     cols = np.arange(side, dtype=np.float32)
@@ -67,7 +72,7 @@ def make_grid_graph(side: int, noise: float = 0.02, closure_every: int = 8,
 
     # large graphs: capacity aligned to the jac_chunk size so lax.map chunks
     # divide evenly (cg.CGConfig.jac_chunk = 131072)
-    em = 131072 if v > 100_000 else 16
+    em = edge_align if edge_align is not None else (131072 if v > 100_000 else 16)
     graph = pgo.empty_graph(up(v, 16), up(e, em))
     return graph._replace(
         poses=graph.poses.at[:v].set(jnp.asarray(init)),
@@ -154,9 +159,11 @@ def edge_chi(graph: pgo.PoseGraph, chunk: int = 131072) -> float:
 
 def run(side: int = 64, gn_iterations: int = 5, cg_iterations: int = 50,
         reps: int = 3, large: bool | None = None) -> PGOBenchResult:
-    graph = make_grid_graph(side)
     if large is None:
         large = side * side > 100_000
+    # edge capacity aligned from the SAME large decision as jac_chunk below,
+    # so chunked linearization never silently degrades to full-E jacfwd
+    graph = make_grid_graph(side, edge_align=131072 if large else 16)
     # million-node mode: row-sorted segment-sum scatters + chunked jacfwd
     order = cg.prepare_edge_order(graph) if large else None
     cfg = cg.CGConfig(

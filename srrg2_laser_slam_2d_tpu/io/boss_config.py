@@ -137,7 +137,7 @@ def _fused_multicue_default(cue_extr) -> bool:
         return False
     import jax
 
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def to_slam_config(g: BossGraph, scene_capacity: int = 8192,

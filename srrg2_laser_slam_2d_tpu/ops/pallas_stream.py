@@ -70,7 +70,18 @@ _BIG = 1.0e30
 # from the axon compile helper until round 4 captured the real error
 # ("Scoped allocation ... exceeded scoped vmem limit"). v5e has 128 MiB of
 # physical VMEM; 100 MiB leaves room for the framework's own buffers.
-_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# Overridable for TPU generations with smaller VMEM (ADVICE r4):
+# SRRG2_TPU_VMEM_LIMIT_MB=<n> caps the scoped budget.
+
+
+def _vmem_limit_bytes() -> int:
+    import os
+
+    mb = os.environ.get("SRRG2_TPU_VMEM_LIMIT_MB")
+    return (int(mb) if mb else 100) * 1024 * 1024
+
+
+_VMEM_LIMIT_BYTES = _vmem_limit_bytes()
 
 
 # ------------------------------------------------------ batched scalar SE(2)

@@ -260,7 +260,9 @@ def multi_slam(num_beams: int = 721, scene_capacity: int = 8192,
     if use_fused_aligner is None:
         import jax
 
-        use_fused_aligner = jax.default_backend() != "cpu"
+        # TPU only: the fused multi-cue kernel is a Pallas TPU program; a GPU
+        # backend must take the XLA path too (ADVICE r4)
+        use_fused_aligner = jax.default_backend() == "tpu"
     import dataclasses
 
     cfg = laser0_slam(num_beams, scene_capacity)
