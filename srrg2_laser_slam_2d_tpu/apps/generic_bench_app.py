@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                     help="write a JSON artifact (ATE stats, gate verdict, "
                          "timing) to this path")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--chunked", type=int, default=0, metavar="N",
+                    help="chunk-batched device-speed loop "
+                         "(models/chunked_slam.py): process N frames per "
+                         "device dispatch with in-kernel splitting and "
+                         "chunk-boundary SLAM events. 0 = per-message loop")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint path: save every --checkpoint-every frames; "
                          "if the file exists, RESUME from it")
@@ -58,13 +63,25 @@ def main(argv=None) -> int:
         mgr = config_mod.ConfigManager.read(args.config)
         slam_cfg = mgr.get_by_name("slam")
         pre_cfg = mgr.get_by_name("preprocessor")
-    runner = SlamRunner(
-        slam_config=slam_cfg or presets.laser0_slam(),
-        preprocessor_config=pre_cfg or presets.laser0_preprocessor(),
-    )
+    if args.chunked:
+        from ..models.chunked_slam import ChunkedSlamRunner
+
+        runner = ChunkedSlamRunner(
+            slam_config=slam_cfg or presets.laser0_slam(),
+            preprocessor_config=pre_cfg or presets.laser0_preprocessor(),
+            chunk=args.chunked,
+        )
+    else:
+        runner = SlamRunner(
+            slam_config=slam_cfg or presets.laser0_slam(),
+            preprocessor_config=pre_cfg or presets.laser0_preprocessor(),
+        )
     import os as _os
 
     resume_n = 0
+    if args.checkpoint and args.chunked:
+        print("ERROR: --checkpoint requires the per-message loop", file=sys.stderr)
+        return -1
     if args.checkpoint:
         base = args.checkpoint[:-4] if args.checkpoint.endswith(".npz") else args.checkpoint
         if _os.path.exists(base + ".npz"):
@@ -130,8 +147,25 @@ def main(argv=None) -> int:
                 f"mean_frame_hz= {summary.get('mean_frame_hz', 0):.2f}\n"
             )
 
+    # provenance (VERDICT r4 weak #6: artifacts must record what produced them)
+    import subprocess as _sp
+
+    import jax as _jax
+
+    try:
+        commit = _sp.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
     artifact = {
         "input": args.input or args.carmen,
+        "backend": _jax.default_backend(),
+        "device": str(_jax.devices()[0]),
+        "config": args.config,
+        "commit": commit,
+        "mode": f"chunked[{args.chunked}]" if args.chunked else "per_message",
         "frames": n,
         "total_dataset_time_s": round(total_dataset_time, 3),
         "total_compute_time_s": round(summary.get("total_compute_time", 0), 3),

@@ -29,6 +29,26 @@ from ..utils.cloud import Cloud
 Array = jax.Array
 
 
+def relative_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Host-side SE(2) relative pose a^-1 ∘ b (no device round-trip — the
+    per-candidate initial guesses are host bookkeeping, and a device sync
+    through the axon tunnel costs ~24 ms each, BENCH_NOTES.md r4)."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    return np.array(
+        [c * dx + s * dy, -s * dx + c * dy, b[2] - a[2]], np.float32
+    )
+
+
+def compose_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Host-side SE(2) composition a ∘ b."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array(
+        [a[0] + c * b[0] - s * b[1], a[1] + s * b[0] + c * b[1], a[2] + b[2]],
+        np.float32,
+    )
+
+
 def default_ld_aligner() -> icp.AlignerConfig:
     """Loop-detection aligner assembly (config: MultiAligner2D #2 max_it 30,
     finder #42 point_distance 1.414 / normal_cos 0.8, robustifier #24 chi 0.05)."""
@@ -107,6 +127,25 @@ def _batch_align(
         return icp.align(acfg, proj, fixed, moving, init)
 
     return jax.vmap(one)(fixed_batch, initials)
+
+
+@functools.partial(jax.jit, static_argnames=("acfg", "proj"))
+def _batch_align_pairs(
+    acfg: icp.AlignerConfig,
+    proj: PolarProjection,
+    fixed_batch: Cloud,        # [J, N, ...] candidate scenes (their map frames)
+    moving_batch: Cloud,       # [J, N, ...] per-job query scenes
+    initials: Array,           # [J, 3]
+) -> icp.AlignResult:
+    """Align J independent (query, candidate) scene pairs in parallel — the
+    multi-query variant of ``_batch_align`` used by the chunked SLAM loop,
+    where one harvest runs the closure detection of EVERY local map born in
+    the chunk as a single batched program (models/chunked_slam.py)."""
+
+    def one(fixed, moving, init):
+        return icp.align(acfg, proj, fixed, moving, init)
+
+    return jax.vmap(one)(fixed_batch, moving_batch, initials)
 
 
 @functools.partial(
@@ -235,16 +274,7 @@ class BruteForceLoopDetector:
         ]
         fixed_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *batch_scenes)
         # initial guess: query map pose seen from each candidate map
-        initials = np.stack(
-            [
-                np.asarray(
-                    geometry.relative(
-                        jnp.asarray(poses[m]), jnp.asarray(poses[query])
-                    )
-                )
-                for m in padded
-            ]
-        )
+        initials = np.stack([relative_np(poses[m], poses[query]) for m in padded])
         res = _batch_align(
             cfg.aligner, self.proj, fixed_batch, scenes[query], jnp.asarray(initials)
         )
@@ -263,6 +293,76 @@ class BruteForceLoopDetector:
             closures.append(
                 ClosureCandidate(
                     query_map=query,
+                    candidate_map=m,
+                    estimate=est[k],
+                    num_inliers=int(n_inl[k]),
+                    num_correspondences=int(n_cor[k]),
+                    chi_inliers=float(chi_in[k]),
+                )
+            )
+        return closures
+
+
+    def detect_many(
+        self,
+        queries: list[int],
+        scenes: list[Cloud],
+        poses: np.ndarray,
+        n_maps: int,
+        adjacency: list[set[int]],
+        pad_to: int = 8,
+    ) -> list[ClosureCandidate]:
+        """Closure detection for SEVERAL query maps as ONE batched alignment
+        program + ONE host sync (the chunked SLAM harvest path). Semantics per
+        query match ``detect``; job count is padded to a power-of-two bucket
+        (>= ``pad_to``) so chunk-to-chunk job-count jitter does not recompile."""
+        cfg = self.cfg
+        jobs: list[tuple[int, int]] = []
+        for q in queries:
+            for m in self.selector.select(q, poses, n_maps, adjacency):
+                jobs.append((q, m))
+        if not jobs:
+            return []
+        from ..utils import cloud as cloud_lib
+
+        J = pad_to
+        while J < len(jobs):
+            J *= 2
+        padded = jobs + [jobs[0]] * (J - len(jobs))
+        maxcap = max(
+            max(scenes[m].capacity for _, m in padded),
+            max(scenes[q].capacity for q, _ in padded),
+        )
+
+        def at_cap(c: Cloud) -> Cloud:
+            return c if c.capacity == maxcap else cloud_lib.repad(c, maxcap)
+
+        fixed_batch = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[at_cap(scenes[m]) for _, m in padded]
+        )
+        moving_batch = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[at_cap(scenes[q]) for q, _ in padded]
+        )
+        initials = np.stack([relative_np(poses[m], poses[q]) for q, m in padded])
+        res = _batch_align_pairs(
+            cfg.aligner, self.proj, fixed_batch, moving_batch,
+            jnp.asarray(initials),
+        )
+        closures = []
+        n_inl = np.asarray(res.num_inliers)
+        n_cor = np.asarray(res.num_correspondences)
+        chi_in = np.asarray(res.chi_inliers)
+        est = np.asarray(res.estimate)
+        for k, (q, m) in enumerate(jobs):
+            if n_inl[k] < cfg.relocalize_min_inliers:
+                continue
+            if n_cor[k] == 0 or n_inl[k] / max(int(n_cor[k]), 1) < cfg.relocalize_min_inliers_ratio:
+                continue
+            if chi_in[k] > cfg.relocalize_max_chi_inliers:
+                continue
+            closures.append(
+                ClosureCandidate(
+                    query_map=q,
                     candidate_map=m,
                     estimate=est[k],
                     num_inliers=int(n_inl[k]),

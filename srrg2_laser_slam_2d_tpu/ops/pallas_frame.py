@@ -98,6 +98,19 @@ class FrameSpec:
     # outside the frame loop) — removes the [F, B] dense compare, the
     # largest single in-kernel cost
     meas_as_canvas: bool = False
+    # In-kernel local-map splitting (LocalMapSplittingCriterionDistance2D,
+    # models/slam.py:231-233 moved onto the device): when > 0 and the
+    # post-frame robot translation |X'| within the local map reaches this
+    # distance, the SAME kernel invocation reseeds — X resets to 0 (the new
+    # local map frame = the robot frame at this measurement), the cache and
+    # scene-count reseed from the measurement canvas, and the frame's payload
+    # becomes the new scene's seed appends (kind=2, slots 0..n). The host
+    # discovers splits from the stats row (lane 7 flag, lanes 8-10 the
+    # pre-reset X' = the odometry edge measurement, lane 11 the post-frame
+    # scene count) ONCE PER CHUNK instead of syncing every frame — the round-5
+    # device-speed SLAM loop (models/chunked_slam.py). 0 disables (default;
+    # bit-identical to the round-4 kernel).
+    split_distance: float = 0.0
     # K-stream kernel (ops/pallas_stream.py) only — canvas-gather backend.
     # "onehot" (default) = per-128-block one-hot + batched MXU gather: the
     # fastest measured backend on the real chip (r4 sweep: K=32 onehot
@@ -262,20 +275,6 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
     pay_nx = cM * upd_nx - sM * upd_ny
     pay_ny = sM * upd_nx + cM * upd_ny
 
-    # stats row: [T'(3), chi, n_corr, n_inliers, n_app] in lanes 0-6
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    stats_vals = jnp.concatenate(
-        [T, jnp.stack([s[10], s[9], s[12], jnp.sum(app_ok.astype(jnp.float32))])]
-    )  # [7]
-    stats_row = jnp.zeros((1, B), jnp.float32)
-    for k in range(7):
-        stats_row = jnp.where(lane == k, stats_vals[k], stats_row)
-
-    payload = jnp.concatenate(
-        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row, iter_row],
-        axis=0,
-    )
-
     # new cache: post-merge visible cell per beam, cur-sensor frame
     ncx = jnp.where(m_ok, upd_px, spx)
     ncy = jnp.where(m_ok, upd_py, spy)
@@ -286,12 +285,75 @@ def _frame_body(spec: FrameSpec, measF, cacheT, pose, odomF=None):
         jnp.where(app_ok, slot, jnp.where(s_ok & ~m_ok, srow, -1.0)),
     )
     nvalid = ((m_ok | s_ok) & (nrow >= 0)).astype(jnp.float32)
+    count_new = jnp.minimum(count + n_app, cap)
+
+    # ---- in-kernel local-map split (spec.split_distance > 0) ----
+    # |X'| reached the splitting distance: this frame both ends the old map
+    # and seeds the new one (models/slam.py _split semantics: reseed on the
+    # SAME measurement). The old map keeps the payloads of frames BEFORE
+    # this one; this frame's payload turns into the fresh scene's seed
+    # appends, the cache reseeds from the measurement canvas, X resets to 0.
+    do_split = jnp.float32(0.0)
+    if spec.split_distance > 0:
+        do_split = (
+            jnp.sqrt(X_new[0] * X_new[0] + X_new[1] * X_new[1])
+            >= spec.split_distance
+        ).astype(jnp.float32)
+        seed_ok = m_ok
+        seedf = seed_ok.astype(jnp.float32)
+        seed_slot = bk.lane_prefix_sum(seedf) - 1.0
+        seed_count = jnp.minimum(jnp.sum(seedf), cap)
+        # seed payload coords: measurement cells -> NEW local-map frame
+        # (= robot frame at this measurement), i.e. transform by S only
+        spay_x = cS * bfx - sS * bfy + S[0]
+        spay_y = sS * bfx + cS * bfy + S[1]
+        spay_nx = cS * bfnx - sS * bfny
+        spay_ny = sS * bfnx + cS * bfny
+        sp = do_split > 0
+        pay_x = jnp.where(sp, spay_x, pay_x)
+        pay_y = jnp.where(sp, spay_y, pay_y)
+        pay_nx = jnp.where(sp, spay_nx, pay_nx)
+        pay_ny = jnp.where(sp, spay_ny, pay_ny)
+        target = jnp.where(sp, jnp.where(seed_ok, seed_slot, -1.0), target)
+        kind = jnp.where(sp, jnp.where(seed_ok, 2.0, 0.0), kind)
+        # reseed cache from the measurement canvas (sensor frame == cache frame)
+        ncx = jnp.where(sp, bfx, ncx)
+        ncy = jnp.where(sp, bfy, ncy)
+        nnx = jnp.where(sp, bfnx, nnx)
+        nny = jnp.where(sp, bfny, nny)
+        nrow = jnp.where(sp, jnp.where(seed_ok, seed_slot, -1.0), nrow)
+        nvalid = jnp.where(sp, seedf, nvalid)
+        count_new = jnp.where(do_split > 0, seed_count, count_new)
+
+    # stats row: [T'(3), chi, n_corr, n_inliers, n_app] in lanes 0-6;
+    # lane 7 split flag, lanes 8-10 pre-reset X' (the robot pose in the OLD
+    # local map = the split odometry edge), lane 11 post-frame scene count
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    stats_vals = jnp.concatenate(
+        [
+            T,
+            jnp.stack([s[10], s[9], s[12], jnp.sum(app_ok.astype(jnp.float32))]),
+            jnp.stack([do_split]),
+            X_new,
+            jnp.stack([count_new]),
+        ]
+    )  # [12]
+    stats_row = jnp.zeros((1, B), jnp.float32)
+    for k in range(12):
+        stats_row = jnp.where(lane == k, stats_vals[k], stats_row)
+
+    payload = jnp.concatenate(
+        [pay_x, pay_y, pay_nx, pay_ny, target, kind, stats_row, iter_row],
+        axis=0,
+    )
+
     cacheT_new = jnp.concatenate(
         [ncx, ncy, nnx, nny, nvalid, nrow, jnp.zeros((2, B), jnp.float32)],
         axis=0,
     )
 
-    count_new = jnp.minimum(count + n_app, cap)
+    if spec.split_distance > 0:
+        X_new = jnp.where(do_split > 0, jnp.zeros(3, jnp.float32), X_new)
     new_last_odom = jnp.where(ov > 0, odom, last_odom)
     new_has = jnp.maximum(has_odom, ov)
     pose_row0 = jnp.concatenate(

@@ -75,6 +75,7 @@ _SLOW_TESTS = {
     "test_icp.py::test_inlier_only_runs_refine_under_outliers",
     "test_aux.py::test_checkpoint_roundtrip",
     "test_carmen_e2e.py",
+    "test_chunked_slam.py",
     "test_corridor_bench.py",
     "test_pallas_icp.py",
     "test_pallas_projective.py",
