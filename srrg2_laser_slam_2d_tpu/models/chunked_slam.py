@@ -115,6 +115,84 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
         self._edges_host: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._X_host = np.zeros(3, np.float32)
         self.world_trajectory: list[np.ndarray] = []
+        # per-map live-point-count ledger (host): sizes the detection
+        # alignment capacity (detect_many capacity bucket) without syncing
+        self._scene_counts: dict[int, int] = {}
+        # device-side scene POOL: every local map's scene as rows of ONE
+        # stacked [M, cap, ...] array. Per-scene python Clouds cost O(maps)
+        # tiny device ops per chunk to slice/stack for detection (measured:
+        # the dominant chunk cost through the tunnel); the pool instead takes
+        # one batched write per harvest and one gather per detection batch
+        self._pool: Cloud | None = None
+        # fixed detection batch width: alignment runs in ceil(jobs/J)
+        # batches of exactly J pairs -> one compiled program per scene
+        # capacity bucket instead of one per job-count bucket
+        self.detect_batch = 64
+        # per-phase wall seconds (tracing surface, utils/profiling.py role).
+        # Phases end at natural host syncs; with SRRG2_PHASE_SYNC=1 every
+        # phase blocks on its dispatches so the attribution is exact
+        # (profiling mode — adds one ~24 ms tunnel sync per phase per chunk)
+        import os
+
+        self.phase_times: dict[str, float] = {}
+        self._phase_sync = os.environ.get("SRRG2_PHASE_SYNC", "") not in ("", "0")
+
+    # ---- scene pool ---------------------------------------------------------
+    def _pool_ensure(self, n: int) -> None:
+        cap = self.tracker.spec.scene_capacity
+        if self._pool is None:
+            m = max(64, _bucket(n))
+            self._pool = Cloud(
+                xy=jnp.zeros((m, cap, 2), jnp.float32),
+                normal=jnp.zeros((m, cap, 2), jnp.float32),
+                valid=jnp.zeros((m, cap), bool),
+            )
+        elif self._pool.xy.shape[0] < n:
+            m = _bucket(n)
+            grow = m - self._pool.xy.shape[0]
+            self._pool = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((grow,) + x.shape[1:], x.dtype)]
+                ),
+                self._pool,
+            )
+
+    def _pool_write_many(self, ids: list[int], scenes_k: Cloud) -> None:
+        """One batched write: scenes_k [S, cap, ...] rows -> pool[ids]."""
+        self._pool_ensure(self.n_maps)
+        idx = jnp.asarray(np.asarray(ids, np.int32))
+        self._pool = Cloud(
+            xy=self._pool.xy.at[idx].set(scenes_k.xy),
+            normal=self._pool.normal.at[idx].set(scenes_k.normal),
+            valid=self._pool.valid.at[idx].set(scenes_k.valid),
+        )
+
+    def _pool_write_one(self, m: int, scene: Cloud) -> None:
+        self._pool_ensure(self.n_maps)
+        self._pool = Cloud(
+            xy=self._pool.xy.at[m].set(scene.xy),
+            normal=self._pool.normal.at[m].set(scene.normal),
+            valid=self._pool.valid.at[m].set(scene.valid),
+        )
+
+    def _pool_view(self, m: int) -> Cloud:
+        return jax.tree.map(lambda x: x[m], self._pool)
+
+    def scene_of(self, m: int):
+        if m == self.current_map:
+            return self.tracker.capture_scene()
+        if self._pool is None or m >= self.n_maps:
+            return None
+        return self._pool_view(m)
+
+    def _phase(self, name: str, t0: float, block=None) -> float:
+        import time as _t
+
+        if self._phase_sync and block is not None:
+            jax.block_until_ready(block)
+        t1 = _t.perf_counter()
+        self.phase_times[name] = self.phase_times.get(name, 0.0) + (t1 - t0)
+        return t1
 
     # ---- host-side graph bookkeeping ---------------------------------------
     def _add_variable(self, pose: np.ndarray, fixed: bool = False) -> int:
@@ -223,6 +301,9 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
         """Process a [T, ...] Cloud stack (+ [T, 3] odometry). ``n_frames``
         <= T marks trailing frames as padding (final partial chunk). Returns
         the [n_frames, 3] world-frame trajectory of this chunk."""
+        import time as _t
+
+        t0 = _t.perf_counter()
         spec = self.tracker.spec
         T = clouds.xy.shape[0]
         n = T if n_frames is None else n_frames
@@ -275,6 +356,7 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
 
         # ---- THE chunk sync: [T, 12] stats (poses, split flags, counts) ----
         stats = np.asarray(payloads[:, 6, :12])
+        t0 = self._phase("track", t0)
         if n_g <= 0:
             return np.zeros((0, 3), np.float32)
         stats = stats[:n_g]
@@ -333,50 +415,121 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             )
         else:
             scene0 = base_scene
+        if b0 > a0:
+            self._scene_counts[m0] = int(counts[b0 - 1])
         fresh = seg_bounds[1:]
+        for m, _, e in fresh:
+            self._scene_counts[m] = int(counts[e - 1])
+        self._pool_write_one(m0, scene0)
         if fresh:
             S_pad = _bucket(len(fresh))
             L_pad = _bucket(max(e - s for _, s, e in fresh))
             idx = np.zeros((S_pad, L_pad), np.int32)
             mask = np.zeros((S_pad, L_pad), bool)
             cnts = np.zeros(S_pad, np.float32)
-            for k, (_, s, e) in enumerate(fresh):
+            pool_ids = np.full(S_pad, np.iinfo(np.int32).max, np.int64)
+            for k, (m, s, e) in enumerate(fresh):
                 ln = e - s
                 idx[k, :ln] = np.arange(s, e)
                 mask[k, :ln] = True
                 cnts[k] = counts[e - 1]
+                pool_ids[k] = m
             scenes_k = _materialize_gathered(
                 spec, payloads, jnp.asarray(idx), jnp.asarray(mask),
                 jnp.asarray(cnts),
             )
-            # completed fresh segments -> self.scenes; the open one -> tracker
-            for k, (m, _, _) in enumerate(fresh[:-1]):
-                self.scenes[m] = jax.tree.map(lambda x, kk=k: x[kk], scenes_k)
+            # one batched pool write (padding rows drop as out-of-bounds)
+            self._pool_ensure(self.n_maps)
+            pid = jnp.asarray(pool_ids)
+            self._pool = Cloud(
+                xy=self._pool.xy.at[pid].set(scenes_k.xy, mode="drop"),
+                normal=self._pool.normal.at[pid].set(scenes_k.normal, mode="drop"),
+                valid=self._pool.valid.at[pid].set(scenes_k.valid, mode="drop"),
+            )
             last_scene = jax.tree.map(lambda x: x[len(fresh) - 1], scenes_k)
-            self.scenes[m0] = scene0
             self.tracker.state = self.tracker.state._replace(scene=last_scene)
         else:
             # no splits: the open segment IS the first segment
             self.tracker.state = self.tracker.state._replace(scene=scene0)
-        self.scenes[self.current_map] = None  # current map lives in the tracker
+        t0 = self._phase("materialize", t0, self.tracker.state.scene.xy)
 
         # ---- loop closures / solve / relocalize at the chunk boundary ------
         if cfg.enable_loop_closure and new_maps:
             self._chunk_closure_round(new_maps)
         return world
 
-    def _chunk_closure_round(self, new_maps: list[int]) -> None:
-        cfg = self.cfg
-        scenes_eff = list(self.scenes)
-        scenes_eff[self.current_map] = self.tracker.state.scene
-        closures = self.detector.detect_many(
-            new_maps, scenes_eff, self._poses_host, self.n_maps, self.adjacency
+    def _detect_pool(self, queries: list[int]) -> list:
+        """Loop-closure detection over the scene pool: candidate selection on
+        host mirrors, then alignment in fixed-width batches of
+        ``detect_batch`` gathered straight from the pool (one gather + one
+        program per batch; ONE host sync for all batches)."""
+        from . import loop_closure as lc
+
+        dcfg = self.detector.cfg
+        poses = self._poses_host
+        jobs: list[tuple[int, int]] = []
+        for q in queries:
+            for m in self.detector.selector.select(
+                q, poses, self.n_maps, self.adjacency
+            ):
+                jobs.append((q, m))
+        if not jobs:
+            return []
+        cap = self.tracker.spec.scene_capacity
+        det_cap = min(
+            _bucket(
+                max(self._scene_counts.get(m, cap) for m in range(self.n_maps)),
+                lo=1024,
+            ),
+            cap,
         )
+        JB = self.detect_batch
+        results = []
+        for i in range(0, len(jobs), JB):
+            batch = jobs[i: i + JB]
+            batch = batch + [batch[0]] * (JB - len(batch))
+            fi = jnp.asarray(np.array([m for _, m in batch], np.int32))
+            qi = jnp.asarray(np.array([q for q, _ in batch], np.int32))
+            fixed = Cloud(
+                xy=self._pool.xy[fi, :det_cap],
+                normal=self._pool.normal[fi, :det_cap],
+                valid=self._pool.valid[fi, :det_cap],
+            )
+            moving = Cloud(
+                xy=self._pool.xy[qi, :det_cap],
+                normal=self._pool.normal[qi, :det_cap],
+                valid=self._pool.valid[qi, :det_cap],
+            )
+            initials = np.stack(
+                [lc.relative_np(poses[m], poses[q]) for q, m in batch]
+            )
+            results.append(
+                lc._batch_align_pairs(
+                    dcfg.aligner, self.detector.proj, fixed, moving,
+                    jnp.asarray(initials),
+                )
+            )
+        n_inl = np.concatenate([np.asarray(r.num_inliers) for r in results])
+        n_cor = np.concatenate(
+            [np.asarray(r.num_correspondences) for r in results]
+        )
+        chi_in = np.concatenate([np.asarray(r.chi_inliers) for r in results])
+        est = np.concatenate([np.asarray(r.estimate) for r in results])
+        return lc.gate_candidates(dcfg, jobs, n_inl, n_cor, chi_in, est)
+
+    def _chunk_closure_round(self, new_maps: list[int]) -> None:
+        import time as _t
+
+        t0 = _t.perf_counter()
+        cfg = self.cfg
+        closures = self._detect_pool(new_maps)
         for c in closures:
             self.validator.add(c)
+        t0 = self._phase("detect", t0)
         accepted = self.validator.vote(
             self._poses_host, self.adjacency, self._edge_list()
         )
+        t0 = self._phase("vote", t0)
         added = 0
         for c in accepted:
             if c.candidate_map in self.adjacency[c.query_map]:
@@ -388,11 +541,49 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             added += 1
             if cfg.enable_closure_merger:
                 self._merge_closure_scenes(c)
+        t0 = self._phase("merge", t0,
+                         self.tracker.state.scene.xy if added else None)
         if not added:
             return
         self._global_solve()
+        t0 = self._phase("solve", t0)
         if cfg.enable_relocalizer:
             self._try_relocalize_host()
+            self._phase("relocalize", t0)
+
+    def _merge_closure_scenes(self, c) -> None:
+        """Closure-time map fusion (models/slam.py:294-319) against the scene
+        pool: the fused candidate scene is written back to its pool row."""
+        from . import loop_closure as lc
+
+        cfg = self.cfg
+        fixed = self.scene_of(c.candidate_map)
+        moving = self.scene_of(c.query_map)
+        if fixed is None or moving is None:
+            return
+        fused = lc.merge_closure_scenes(
+            cfg.tracker.projection,
+            fixed,
+            moving,
+            jnp.asarray(c.estimate, jnp.float32),
+            point_distance=cfg.detector.aligner.point_distance,
+            normal_cos=cfg.detector.aligner.normal_cos,
+            max_distance2=cfg.closure_merge_max_distance2,
+            target_merges=cfg.closure_merge_target,
+            binning=cfg.closure_merge_binning,
+        )
+        if c.candidate_map == self.current_map:
+            self.tracker.set_scene(
+                fused, robot_in_local_map=self.tracker.robot_in_local_map
+            )
+        self._pool_write_one(c.candidate_map, fused)
+        # ledger upper bound: a closure merge appends at most
+        # closure_merge_target unclaimed query points to the candidate scene
+        cap = self.tracker.spec.scene_capacity
+        fx = self._scene_counts.get(c.candidate_map, cap)
+        self._scene_counts[c.candidate_map] = min(
+            cap, fx + cfg.closure_merge_target
+        )
 
     def _try_relocalize_host(self) -> None:
         """Post-closure relocalization at the chunk boundary (the
@@ -409,8 +600,8 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
         if best < 0:
             return
         ril = relative_np(self._poses_host[best], cur_w)
-        self.scenes[self.current_map] = self.tracker.capture_scene()
-        self.tracker.set_scene(self.scenes[best], robot_in_local_map=ril)
+        self._pool_write_one(self.current_map, self.tracker.capture_scene())
+        self.tracker.set_scene(self._pool_view(best), robot_in_local_map=ril)
         self.current_map = best
         self._X_host = ril
         self.relocalizations += 1
@@ -542,7 +733,7 @@ class ChunkedSlamRunner:
         total = sum(t for _, t in self._chunk_times)
         if frames == 0:
             return {"frames": 0}
-        return {
+        out = {
             "frames": frames,
             "total_compute_time": total,
             "mean_frame_time": total / frames,
@@ -550,6 +741,11 @@ class ChunkedSlamRunner:
             "chunks": len(self._chunk_times),
             "chunk_size": self.chunk,
         }
+        if self.slam is not None and self.slam.phase_times:
+            out["phases"] = {
+                k: round(v, 3) for k, v in self.slam.phase_times.items()
+            }
+        return out
 
     def draw(self, canvas) -> None:
         """MultiGraphSLAM2D::draw equivalent over the host-side graph."""

@@ -238,6 +238,38 @@ class BreadthFirstSelector:
         return [m for _, m in out[: cfg.max_candidates]]
 
 
+def gate_candidates(
+    cfg: LoopDetectorConfig,
+    jobs: list[tuple[int, int]],
+    n_inl: np.ndarray,
+    n_cor: np.ndarray,
+    chi_in: np.ndarray,
+    est: np.ndarray,
+) -> list[ClosureCandidate]:
+    """Detector acceptance gates (MultiLoopDetectorBruteForce2D, config
+    :621-634) applied to batched alignment results for (query, candidate)
+    job pairs."""
+    out = []
+    for k, (q, m) in enumerate(jobs):
+        if n_inl[k] < cfg.relocalize_min_inliers:
+            continue
+        if n_cor[k] == 0 or n_inl[k] / max(int(n_cor[k]), 1) < cfg.relocalize_min_inliers_ratio:
+            continue
+        if chi_in[k] > cfg.relocalize_max_chi_inliers:
+            continue
+        out.append(
+            ClosureCandidate(
+                query_map=q,
+                candidate_map=m,
+                estimate=est[k],
+                num_inliers=int(n_inl[k]),
+                num_correspondences=int(n_cor[k]),
+                chi_inliers=float(chi_in[k]),
+            )
+        )
+    return out
+
+
 class BruteForceLoopDetector:
     """Align the query map scene against all selected candidates in one
     batched kernel, then gate (MultiLoopDetectorBruteForce2D)."""
@@ -311,11 +343,20 @@ class BruteForceLoopDetector:
         n_maps: int,
         adjacency: list[set[int]],
         pad_to: int = 8,
+        capacity: int | None = None,
     ) -> list[ClosureCandidate]:
         """Closure detection for SEVERAL query maps as ONE batched alignment
         program + ONE host sync (the chunked SLAM harvest path). Semantics per
         query match ``detect``; job count is padded to a power-of-two bucket
-        (>= ``pad_to``) so chunk-to-chunk job-count jitter does not recompile."""
+        (>= ``pad_to``) so chunk-to-chunk job-count jitter does not recompile.
+
+        ``capacity``: align at this point capacity instead of the scenes' full
+        storage capacity. The chunked loop passes a bucket sized from its
+        host-side count ledger — local-map scenes hold ~600-1100 live points
+        in 8192-slot arrays (corridor measurement), and the alignment cost is
+        O(capacity), so aligning at storage capacity wastes ~8x. Scenes are
+        sliced WITHOUT compaction (chunked materialize emits prefix-packed
+        scenes; the ledger bucket over-provisions merged scenes)."""
         cfg = self.cfg
         jobs: list[tuple[int, int]] = []
         for q in queries:
@@ -329,13 +370,20 @@ class BruteForceLoopDetector:
         while J < len(jobs):
             J *= 2
         padded = jobs + [jobs[0]] * (J - len(jobs))
-        maxcap = max(
+        maxcap = capacity or max(
             max(scenes[m].capacity for _, m in padded),
             max(scenes[q].capacity for q, _ in padded),
         )
 
         def at_cap(c: Cloud) -> Cloud:
-            return c if c.capacity == maxcap else cloud_lib.repad(c, maxcap)
+            if c.capacity == maxcap:
+                return c
+            if c.capacity > maxcap:  # prefix slice (see docstring)
+                return Cloud(
+                    xy=c.xy[:maxcap], normal=c.normal[:maxcap],
+                    valid=c.valid[:maxcap],
+                )
+            return cloud_lib.repad(c, maxcap)
 
         fixed_batch = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[at_cap(scenes[m]) for _, m in padded]
@@ -505,9 +553,17 @@ class ClosureValidator:
         )
         opt = np.asarray(solved.poses)
         for p, (i, j, m) in zip(entries, closure_rows):
-            e = np.asarray(
-                pgo.edge_residual(jnp.asarray(opt[i]), jnp.asarray(opt[j]), jnp.asarray(m))
+            # host-side residual (e = t2v(Z^-1 ∘ (Xi^-1 ∘ Xj)), the
+            # SE2PosePoseGeodesic error of pgo.edge_residual) — a device
+            # round-trip PER closure here cost ~24 ms each through the
+            # serving tunnel and dominated the chunked vote phase
+            e = compose_np(
+                np.array([-np.cos(m[2]) * m[0] - np.sin(m[2]) * m[1],
+                          np.sin(m[2]) * m[0] - np.cos(m[2]) * m[1],
+                          -m[2]], np.float32),
+                relative_np(opt[i], opt[j]),
             )
+            e[2] = (e[2] + np.pi) % (2 * np.pi) - np.pi  # wrap like geometry.compose
             chi = float(np.sum(e * e * self.closure_info))
             p["checks"] += 1
             if chi < self.cfg.inlier_chi:
