@@ -156,6 +156,33 @@ def linearize(graph: PoseGraph, chi_threshold: float):
     return H.reshape(3 * v, 3 * v), b.reshape(3 * v), chi, chi_e
 
 
+def graph_chi(graph: PoseGraph) -> Array:
+    """Total information-weighted chi over live edges (no linearization)."""
+    e = _edge_res(
+        graph.poses[graph.edge_i], graph.poses[graph.edge_j], graph.edge_meas
+    )
+    chi_e = jnp.sum(e * e * graph.edge_info, axis=-1)
+    return jnp.sum(jnp.where(graph.edge_valid, chi_e, 0.0))
+
+
+def solve_spd_scaled(H: Array, b: Array) -> Array:
+    """Jacobi-scaled dense solve with a finite guard — the f32-safe normal-
+    equation solve. The raw system mixes anchor weight (1e6), damping (1e-6)
+    and edge info (1e2-1e3) on the diagonal; unscaled f32 LU of that spread
+    explodes (measured: chain graphs >= 256 nodes return 1e7-sized steps,
+    then NaN poses — the round-4 schur_r04 'chi: NaN' root cause; see
+    BENCH_NOTES). Symmetric diagonal scaling removes the spread; the finite
+    guard zeroes the step if the scaled system is still beyond f32 (long
+    anchored chains are genuinely indefinite-to-f32 — their true smallest
+    eigenvalue sits below f32 accumulation noise; the reference's CSparse
+    solves those in double, which TPUs do not have natively — chain-dominant
+    graphs belong to the LM or PCG paths)."""
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    Hs = H / d[:, None] / d[None, :]
+    dx = jnp.linalg.solve(Hs, b / d) / d
+    return jnp.where(jnp.isfinite(dx), dx, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]:
     """Gauss-Newton loop. Returns (graph with updated poses, final chi, iters)."""
@@ -178,7 +205,7 @@ def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]
             H = H + jnp.diag(diag_extra)
             # LM damping on the diagonal; try the step, accept on chi decrease
             Hlm = H + lam * jnp.diag(jnp.diag(H))
-            dx = jnp.linalg.solve(Hlm, -b).reshape(v, 3)
+            dx = solve_spd_scaled(Hlm, -b).reshape(v, 3)
             dx = jnp.where(movable[:, None], dx, 0.0)
             cand = geometry.compose(dx, poses)
             _, _, chi_new, _ = linearize(graph._replace(poses=cand), cfg.chi_threshold)
@@ -215,9 +242,17 @@ def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]
         g = graph._replace(poses=poses)
         H, b, chi, _ = linearize(g, cfg.chi_threshold)
         H = H + jnp.diag(diag_extra)
-        dx = jnp.linalg.solve(H, -b).reshape(v, 3)
+        dx = solve_spd_scaled(H, -b).reshape(v, 3)
         dx = jnp.where(movable[:, None], dx, 0.0)
-        new_poses = geometry.compose(dx, poses)  # pre-multiplied block update
+        cand = geometry.compose(dx, poses)  # pre-multiplied block update
+        # divergence guard: a chain-dominant system can exceed the f32 solve
+        # (see solve_spd_scaled) and return a garbage step whose chi explodes
+        # by many orders of magnitude — keep the current poses instead of
+        # oscillating to infinity (such graphs belong to LM/PCG). Ordinary
+        # GN overshoot (a few x, recovered next iteration) stays accepted.
+        chi_cand = graph_chi(graph._replace(poses=cand))
+        ok = jnp.isfinite(chi_cand) & (chi_cand <= 1e3 * chi + 1e3)
+        new_poses = jnp.where(ok, cand, poses)
         return it + 1, new_poses, chi, chi_prev
 
     def cond(state):

@@ -111,3 +111,28 @@ def test_lm_never_increases_chi():
     chi0 = float(pgo.graph_chi(graph))
     out, chi, _ = pgo.optimize(pgo.PGOConfig(max_iterations=30, algorithm="lm"), graph)
     assert float(chi) <= chi0 + 1e-5
+
+
+def test_chain_graphs_never_nan():
+    """f32-conditioning regression (r4 schur_r04 'chi: NaN' root cause):
+    long anchored chains exceed the f32 dense solve — the scaled solve +
+    divergence guard must keep poses finite at every size, and the LM / CG
+    paths must actually converge on the shape (pgo.solve_spd_scaled)."""
+    import jax.numpy as jnp
+
+    from srrg2_laser_slam_2d_tpu.bench.pgo_bench import edge_chi, make_chain_graph
+    from srrg2_laser_slam_2d_tpu.solver import cg as cg_mod
+
+    for n in (64, 256):
+        g = make_chain_graph(n)
+        out, chi, _ = pgo.optimize(pgo.PGOConfig(max_iterations=10), g)
+        assert bool(jnp.isfinite(out.poses).all()), n
+        lm, _, _ = pgo.optimize(
+            pgo.PGOConfig(max_iterations=20, algorithm="lm"), g
+        )
+        assert bool(jnp.isfinite(lm.poses).all()), n
+        assert edge_chi(lm) < edge_chi(g), n
+        sc, _, _ = cg_mod.optimize_cg(
+            cg_mod.CGConfig(gn_iterations=10, cg_iterations=100), g
+        )
+        assert edge_chi(sc) < 0.05 * edge_chi(g), (n, edge_chi(sc))
