@@ -183,6 +183,18 @@ def solve_spd_scaled(H: Array, b: Array) -> Array:
     return jnp.where(jnp.isfinite(dx), dx, 0.0)
 
 
+def solve_spd_scaled_batched(H: Array, B: Array) -> Array:
+    """Batched ([P, n, n] @ [P, n, k]) variant of ``solve_spd_scaled`` —
+    the Schur interior eliminations run one such solve per partition
+    (solver/schur.py), with the same f32 conditioning hazard on chain
+    interiors."""
+    d = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12))            # [P, n]
+    Hs = H / d[..., :, None] / d[..., None, :]
+    X = jnp.linalg.solve(Hs, B / d[..., :, None]) / d[..., :, None]
+    return jnp.where(jnp.isfinite(X), X, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize(cfg: PGOConfig, graph: PoseGraph) -> tuple[PoseGraph, Array, Array]:
     """Gauss-Newton loop. Returns (graph with updated poses, final chi, iters)."""

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import geometry
+from . import pgo as pgo_mod
 from .pgo import PGOConfig, PoseGraph, _edge_jac, _edge_res
 
 Array = jax.Array
@@ -222,8 +223,33 @@ def _eliminate(Hp, bp, rows3, anchor_sep, d_i: int, d_s: int):
     H_ll_p = Hp[:, d_i:, d_i:]
     b_i = bp[:, :d_i]
     b_l_p = bp[:, d_i:]
-    G = jnp.linalg.solve(H_ii, H_il)                         # [P, dI, dL]
-    y = jnp.linalg.solve(H_ii, b_i[..., None])[..., 0]       # [P, dI]
+    # Jacobi-scaled solves (pgo.solve_spd_scaled_batched): chain interiors
+    # mix damping/anchor/info scales on the diagonal and exceed unscaled
+    # f32 LU exactly like the dense global solve (r4 schur_r04 NaN).
+    # Large partition counts chunk the batched solve through lax.map — the
+    # fully-fused [P, dI, dI] elimination overflows the XLA scoped-VMEM
+    # budget at P=1024/dI=768 (262k-chain shape; the r4 262k compile
+    # failure), and the tunnel's client cannot raise that compiler limit.
+    P = H_ii.shape[0]
+    if P >= 512:
+        chunks = P // 256
+
+        def _one(args):
+            hii, hil, bi = args
+            g_ = pgo_mod.solve_spd_scaled_batched(hii, hil)
+            y_ = pgo_mod.solve_spd_scaled_batched(hii, bi[..., None])[..., 0]
+            return g_, y_
+
+        G, y = jax.lax.map(_one, (
+            H_ii.reshape((chunks, 256) + H_ii.shape[1:]),
+            H_il.reshape((chunks, 256) + H_il.shape[1:]),
+            b_i.reshape((chunks, 256) + b_i.shape[1:]),
+        ))
+        G = G.reshape((P,) + G.shape[2:])
+        y = y.reshape((P,) + y.shape[2:])
+    else:
+        G = pgo_mod.solve_spd_scaled_batched(H_ii, H_il)     # [P, dI, dL]
+        y = pgo_mod.solve_spd_scaled_batched(H_ii, b_i[..., None])[..., 0]
     S_loc = H_ll_p - jnp.einsum("pji,pjk->pik", H_il, G)
     b_loc = b_l_p - jnp.einsum("pji,pj->pi", H_il, y)
     # local -> global reduced system (scatter-add; pad rows drop)
@@ -231,8 +257,37 @@ def _eliminate(Hp, bp, rows3, anchor_sep, d_i: int, d_s: int):
     S_red = S_red.at[rows3[:, :, None], rows3[:, None, :]].add(S_loc)
     S_red = S_red[:d_s, :d_s] + jnp.diag(jnp.repeat(anchor_sep, 3))
     b_red = jnp.zeros(d_s + 1).at[rows3].add(b_loc)[:d_s]
-    dx_s = jnp.linalg.solve(S_red, -b_red)
+    dx_s = _solve_separator(S_red, -b_red)
     return dx_s, y, G
+
+
+def _solve_separator(S_red: Array, b: Array) -> Array:
+    """Separator solve: dense scaled LU up to ~3k separator variables;
+    Jacobi-PCG on the materialized system beyond that — the TPU LU panel
+    (f32[d_s, 128] LuDecompositionBlock) overflows the 16 MiB scoped-VMEM
+    compiler budget near d_s ~ 11k (the r4 262k-chain compile failure,
+    reproduced verbatim in r5 and not raisable through the serving tunnel)."""
+    d_s = S_red.shape[0]
+    if d_s <= 8192:
+        return pgo_mod.solve_spd_scaled(S_red, b)
+    d = jnp.maximum(jnp.diag(S_red), 1e-12)
+
+    def body(_, st):
+        x, r, p, rz = st
+        Sp = S_red @ p
+        alpha = rz / jnp.maximum(jnp.dot(p, Sp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = r / d
+        rz_new = jnp.dot(r, z)
+        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+        return x, r, p, rz_new
+
+    x0 = jnp.zeros_like(b)
+    z0 = b / d
+    st = jax.lax.fori_loop(0, 200, body, (x0, b, z0, jnp.dot(b, z0)))
+    x = st[0]
+    return jnp.where(jnp.isfinite(x), x, 0.0)
 
 
 def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
@@ -283,8 +338,8 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
         H_ll_p = Hp[:, d_i:, d_i:]
         b_i = bp[:, :d_i]
         b_l_p = bp[:, d_i:]
-        G = jnp.linalg.solve(H_ii, H_il)
-        y = jnp.linalg.solve(H_ii, b_i[..., None])[..., 0]
+        G = pgo_mod.solve_spd_scaled_batched(H_ii, H_il)
+        y = pgo_mod.solve_spd_scaled_batched(H_ii, b_i[..., None])[..., 0]
         S_loc = H_ll_p - jnp.einsum("pji,pjk->pik", H_il, G)
         b_loc = b_l_p - jnp.einsum("pji,pj->pi", H_il, y)
         S_l = jnp.zeros((d_s + 1, d_s + 1))
@@ -294,7 +349,7 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
             jnp.repeat(anchor_sep, 3)
         )
         b_red = jax.lax.psum(b_l[:d_s], GRAPH_AXIS)
-        dx_s = jnp.linalg.solve(S_red, -b_red)
+        dx_s = pgo_mod.solve_spd_scaled(S_red, -b_red)
         chi = jax.lax.psum(jnp.sum(chi_p), GRAPH_AXIS)
         dx_sl = jnp.concatenate([dx_s, jnp.zeros(1)])[my_rows3]
         dx_i = -y - jnp.einsum("pik,pk->pi", G, dx_sl)
@@ -316,7 +371,10 @@ def optimize_schur_sharded(cfg: PGOConfig, graph: PoseGraph, part: Partitioning,
             it, poses, chi_prev, _ = state
             dx, chi = device_step(poses, parts_arr, part.interior_idx, rows3)
             dx = jnp.where(movable[:, None], dx, 0.0)
-            return it + 1, geometry.compose(dx, poses), chi, chi_prev
+            cand = geometry.compose(dx, poses)
+            chi_cand = pgo_mod.graph_chi(graph._replace(poses=cand))
+            ok = jnp.isfinite(chi_cand) & (chi_cand <= 1e3 * chi + 1e3)
+            return it + 1, jnp.where(ok, cand, poses), chi, chi_prev
 
         def cond(state):
             it, _, chi, chi_prev = state
@@ -474,7 +532,14 @@ def optimize_schur(cfg: PGOConfig, graph: PoseGraph, part: Partitioning
         dx = dx[:v_cap]
         movable = graph.var_valid & ~graph.var_fixed
         dx = jnp.where(movable[:, None], dx, 0.0)
-        return geometry.compose(dx, poses), chi
+        cand = geometry.compose(dx, poses)
+        # divergence guard (same as pgo.optimize): chain-shaped graphs have
+        # soft interior modes whose f32 elimination error corrupts the
+        # reduced system (see BENCH_NOTES r5 'Schur f32 analysis') — keep
+        # the current poses instead of diverging; such graphs belong to PCG
+        chi_cand = pgo_mod.graph_chi(graph._replace(poses=cand))
+        ok = jnp.isfinite(chi_cand) & (chi_cand <= 1e3 * chi + 1e3)
+        return jnp.where(ok, cand, poses), chi
 
     def body(state):
         it, poses, chi_prev, _ = state
