@@ -87,15 +87,64 @@ def run_pass(cfg_path: str | None, chunk: int, max_frames: int | None):
     }, runner
 
 
+def run_native_baseline() -> dict | None:
+    """Build + run the single-core C++ e2e baseline on the same dataset in
+    the same session (native/baseline_slam.cpp), ATE via the same suite."""
+    import numpy as np
+
+    from ..bench import suite as suite_mod
+    from ..io import tum
+
+    here = os.getcwd()
+    src = os.path.join(here, "native", "baseline_slam.cpp")
+    exe = os.path.join(here, "native", "baseline_slam")
+    try:
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
+                check=True, capture_output=True, timeout=300,
+            )
+        out = subprocess.run(
+            [exe, "bench/data/corridor.jsonl", "/tmp/baseline_slam.tum"],
+            check=True, capture_output=True, timeout=600,
+        )
+        res = json.loads(out.stdout.decode().strip())
+        gt = tum.read_tum("bench/data/corridor_gt.tum")
+        est_t, est_p = tum.read_tum("/tmp/baseline_slam.tum")
+        b = suite_mod.BenchmarkSuite()
+        b.set_ground_truth(*gt)
+        for t, p in zip(est_t, est_p):
+            b.set_pose_estimate(p, t)
+        stats = b.compute()
+        res["ate_rmse_translation_m"] = round(float(stats["rmse_translation"]), 4)
+        res["gate_verdict"] = (
+            "REGRESSION"
+            if b.is_regression(suite_mod.CORRIDOR_THRESHOLDS, stats) else "PASS"
+        )
+        res["note"] = (
+            "single-core C++ full pipeline (track+split+detect+solve); "
+            "no validator/merger/relocalizer — simplifications favor its "
+            "wall clock (native/baseline_slam.cpp header)"
+        )
+        return res
+    except Exception as e:
+        return {"error": repr(e)[:300]}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--config", default="configurations/corridor.json")
     ap.add_argument("--out", default=None)
     ap.add_argument("--tum", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--single-pass", action="store_true",
                     help="cold pass only (CI smoke)")
+    ap.add_argument("--lean-config",
+                    default="configurations/corridor_lean.json",
+                    help="feature-parity config for the C++ speed "
+                         "comparison row ('' disables)")
     args = ap.parse_args()
 
     # persistent compile cache: the cold pass of LATER sessions skips XLA
@@ -124,6 +173,9 @@ def main() -> int:
         "mode": f"chunked[{args.chunk}]",
         "gate": "corridor",
     }
+    if args.max_frames is None:
+        artifact["cpp_e2e_baseline"] = run_native_baseline()
+        print("cpp:", json.dumps(artifact["cpp_e2e_baseline"]), flush=True)
     cold, runner = run_pass(args.config, args.chunk, args.max_frames)
     artifact["cold"] = cold
     print("cold:", json.dumps(cold), flush=True)
@@ -131,6 +183,13 @@ def main() -> int:
         warm, runner = run_pass(args.config, args.chunk, args.max_frames)
         artifact["warm"] = warm
         print("warm:", json.dumps(warm), flush=True)
+    if args.lean_config and args.max_frames is None:
+        # feature-parity row: the C++ baseline ships no validator / closure
+        # merger / relocalizer, so the speed-for-speed comparison runs the
+        # TPU pipeline with the same feature set (quality still gated)
+        lean, _ = run_pass(args.lean_config, args.chunk, None)
+        artifact["warm_lean_parity"] = lean
+        print("lean:", json.dumps(lean), flush=True)
     head = artifact.get("warm", cold)
     closed = head["graph_factors"] > head["graph_variables"] - 1
     artifact["loop_closures_accepted"] = closed

@@ -70,6 +70,32 @@ def _materialize_prefix(spec: FrameSpec, scene: Cloud, payloads: Array,
     return fast_mod.materialize(spec, scene, payloads, final_count)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "point_distance", "normal_cos", "max_distance2",
+                     "target_merges", "binning"),
+)
+def _merge_closure_batch(proj, fixed: Cloud, moving: Cloud, estimates: Array,
+                         point_distance: float, normal_cos: float,
+                         max_distance2: float, target_merges: int,
+                         binning: bool) -> Cloud:
+    """Vmapped closure-time map fusion: J (candidate, query) scene pairs
+    fused in ONE program (the chunked loop merges every accepted closure of
+    a chunk at once — sequentially dispatched per-closure merges dominated
+    the chunk wall clock at ~10 ms x hundreds of closures)."""
+    from .loop_closure import merge_closure_scenes
+
+    def one(f, m, e):
+        return merge_closure_scenes(
+            proj, f, m, e,
+            point_distance=point_distance, normal_cos=normal_cos,
+            max_distance2=max_distance2, target_merges=target_merges,
+            binning=binning,
+        )
+
+    return jax.vmap(one)(fixed, moving, estimates)
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _materialize_gathered(spec: FrameSpec, payloads: Array, idx: Array,
                           mask: Array, counts: Array) -> Cloud:
@@ -127,7 +153,7 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
         # fixed detection batch width: alignment runs in ceil(jobs/J)
         # batches of exactly J pairs -> one compiled program per scene
         # capacity bucket instead of one per job-count bucket
-        self.detect_batch = 64
+        self.detect_batch = 128
         # per-phase wall seconds (tracing surface, utils/profiling.py role).
         # Phases end at natural host syncs; with SRRG2_PHASE_SYNC=1 every
         # phase blocks on its dispatches so the attribution is exact
@@ -483,8 +509,11 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             ),
             cap,
         )
+        if dcfg.detection_capacity:
+            det_cap = min(det_cap, dcfg.detection_capacity)
         JB = self.detect_batch
         results = []
+        acfg = dcfg.aligner
         for i in range(0, len(jobs), JB):
             batch = jobs[i: i + JB]
             batch = batch + [batch[0]] * (JB - len(batch))
@@ -503,12 +532,27 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             initials = np.stack(
                 [lc.relative_np(poses[m], poses[q]) for q, m in batch]
             )
-            results.append(
-                lc._batch_align_pairs(
-                    dcfg.aligner, self.detector.proj, fixed, moving,
-                    jnp.asarray(initials),
+            if dcfg.backend == "fused_nn":
+                from ..ops import pallas_icp
+
+                results.append(
+                    pallas_icp.fused_align_pairs(
+                        fixed, moving, jnp.asarray(initials),
+                        iterations=acfg.max_iterations,
+                        max_distance=acfg.point_distance,
+                        normal_cos=acfg.normal_cos,
+                        chi_threshold=acfg.chi_threshold,
+                        min_inliers=acfg.min_num_inliers,
+                        interpret=self.tracker._interpret,
+                    )
                 )
-            )
+            else:
+                results.append(
+                    lc._batch_align_pairs(
+                        acfg, self.detector.proj, fixed, moving,
+                        jnp.asarray(initials),
+                    )
+                )
         n_inl = np.concatenate([np.asarray(r.num_inliers) for r in results])
         n_cor = np.concatenate(
             [np.asarray(r.num_correspondences) for r in results]
@@ -531,6 +575,7 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
         )
         t0 = self._phase("vote", t0)
         added = 0
+        to_merge = []
         for c in accepted:
             if c.candidate_map in self.adjacency[c.query_map]:
                 continue
@@ -539,10 +584,11 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             )
             self.num_closures += 1
             added += 1
-            if cfg.enable_closure_merger:
-                self._merge_closure_scenes(c)
+            to_merge.append(c)
+        if cfg.enable_closure_merger and to_merge:
+            self._merge_closures_batched(to_merge)
         t0 = self._phase("merge", t0,
-                         self.tracker.state.scene.xy if added else None)
+                         self._pool.xy if added else None)
         if not added:
             return
         self._global_solve()
@@ -551,39 +597,66 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             self._try_relocalize_host()
             self._phase("relocalize", t0)
 
-    def _merge_closure_scenes(self, c) -> None:
+    def _merge_closures_batched(self, closures: list) -> None:
         """Closure-time map fusion (models/slam.py:294-319) against the scene
-        pool: the fused candidate scene is written back to its pool row."""
-        from . import loop_closure as lc
-
+        pool, batched: all accepted closures of a chunk fuse in one program
+        per round (rounds separate closures sharing a candidate map, so
+        sequential-merge semantics hold). Fused scenes write back to the
+        pool in one batched write."""
         cfg = self.cfg
-        fixed = self.scene_of(c.candidate_map)
-        moving = self.scene_of(c.query_map)
-        if fixed is None or moving is None:
-            return
-        fused = lc.merge_closure_scenes(
-            cfg.tracker.projection,
-            fixed,
-            moving,
-            jnp.asarray(c.estimate, jnp.float32),
-            point_distance=cfg.detector.aligner.point_distance,
-            normal_cos=cfg.detector.aligner.normal_cos,
-            max_distance2=cfg.closure_merge_max_distance2,
-            target_merges=cfg.closure_merge_target,
-            binning=cfg.closure_merge_binning,
-        )
-        if c.candidate_map == self.current_map:
-            self.tracker.set_scene(
-                fused, robot_in_local_map=self.tracker.robot_in_local_map
-            )
-        self._pool_write_one(c.candidate_map, fused)
-        # ledger upper bound: a closure merge appends at most
-        # closure_merge_target unclaimed query points to the candidate scene
         cap = self.tracker.spec.scene_capacity
-        fx = self._scene_counts.get(c.candidate_map, cap)
-        self._scene_counts[c.candidate_map] = min(
-            cap, fx + cfg.closure_merge_target
-        )
+        remaining = list(closures)
+        while remaining:
+            seen: set[int] = set()
+            group, later = [], []
+            for c in remaining:
+                if c.candidate_map in seen:
+                    later.append(c)
+                else:
+                    seen.add(c.candidate_map)
+                    group.append(c)
+            remaining = later
+            J = _bucket(len(group))
+            padded = group + [group[0]] * (J - len(group))
+            ci = jnp.asarray(
+                np.array([c.candidate_map for c in padded], np.int32))
+            qi = jnp.asarray(
+                np.array([c.query_map for c in padded], np.int32))
+            est = jnp.asarray(
+                np.stack([c.estimate for c in padded]).astype(np.float32))
+            fused = _merge_closure_batch(
+                cfg.tracker.projection,
+                jax.tree.map(lambda x: x[ci], self._pool),
+                jax.tree.map(lambda x: x[qi], self._pool),
+                est,
+                point_distance=cfg.detector.aligner.point_distance,
+                normal_cos=cfg.detector.aligner.normal_cos,
+                max_distance2=cfg.closure_merge_max_distance2,
+                target_merges=cfg.closure_merge_target,
+                binning=cfg.closure_merge_binning,
+            )
+            # batched write-back (pad rows collapse onto group[0]'s id, whose
+            # row 0 carries the real fusion — identical values, safe)
+            ids = np.full(J, np.iinfo(np.int32).max, np.int64)
+            ids[: len(group)] = [c.candidate_map for c in group]
+            pid = jnp.asarray(ids)
+            self._pool = Cloud(
+                xy=self._pool.xy.at[pid].set(fused.xy, mode="drop"),
+                normal=self._pool.normal.at[pid].set(fused.normal, mode="drop"),
+                valid=self._pool.valid.at[pid].set(fused.valid, mode="drop"),
+            )
+            for c in group:
+                if c.candidate_map == self.current_map:
+                    self.tracker.set_scene(
+                        self._pool_view(c.candidate_map),
+                        robot_in_local_map=self.tracker.robot_in_local_map,
+                    )
+                # ledger upper bound: a merge appends at most
+                # closure_merge_target unclaimed query points
+                fx = self._scene_counts.get(c.candidate_map, cap)
+                self._scene_counts[c.candidate_map] = min(
+                    cap, fx + cfg.closure_merge_target
+                )
 
     def _try_relocalize_host(self) -> None:
         """Post-closure relocalization at the chunk boundary (the

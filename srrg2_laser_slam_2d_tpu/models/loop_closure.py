@@ -79,6 +79,17 @@ class LoopDetectorConfig:
     # static candidate batch size for the vmapped alignment
     max_candidates: int = 8
     aligner: icp.AlignerConfig = field(default_factory=default_ld_aligner)
+    # candidate-alignment backend: "projective" = XLA beam-projective finder
+    # (icp.align; the parity path), "fused_nn" = one-kernel bounded-NN ICP
+    # (ops/pallas_icp.fused_align_pairs; the CorrespondenceFinderKDTree2D
+    # correspondence model, TPU serving path — used by the chunked loop)
+    backend: str = "projective"
+    # chunked-loop detection point capacity: candidate/query scenes align at
+    # min(this, live-count bucket). Alignment cost is O(capacity); 1024
+    # covers typical 1 m local maps (corridor median ~700 points) — scenes
+    # beyond it align on their first `detection_capacity` points.
+    # 0 = ledger bucket only (no cap)
+    detection_capacity: int = 0
 
 
 @dataclass(frozen=True)

@@ -39,8 +39,10 @@ _BIG = 1.0e30  # plain float: jnp scalars become captured consts in Pallas kerne
 
 class FusedAlignResult(NamedTuple):
     estimate: Array     # [3]
-    chi: Array          # []
-    num_inliers: Array  # [] float32
+    chi: Array          # [] total chi over correspondences
+    num_inliers: Array  # [] float32 — correspondences with chi < threshold
+    num_correspondences: Array  # [] float32 — gated matches
+    chi_inliers: Array  # [] mean chi over inliers (detector gate surface)
 
 
 def _compose(a, b):
@@ -79,54 +81,94 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
     n_tiles = n_fixed // tile_f
 
     def kernel(fgeo_ref, mgeo_ref, t0_ref, out_t_ref, out_stats_ref):
-        # fgeo: [F, 8] = (x, y, nx, ny, valid, |p|^2-with-invalid-penalty, 0, 0)
-        # mgeo: [M, 8] = (x, y, nx, ny, valid, 0, 0, 0)
+        # Layouts (r5, first REAL-Mosaic-compiling revision — the original
+        # [F, 8]/[M, 8] column slices produced sublane-offset vectors whose
+        # reductions Mosaic rejects with 'Not implemented: Offset change'):
+        #   fgeo [8, F] ROWS (x, y, nx, ny, valid, |f|^2+penalty, 0, 0) —
+        #     row slices of [8, X] blocks are the proven-safe pattern
+        #     (ops/pallas_frame.py canvas rows);
+        #   mgeo [M, 8] with [M, 1] COLUMNS extracted via basis-vector MXU
+        #     dots (a dot output has a clean layout; a column slice does not).
         mgeo = mgeo_ref[:]
-        mx0, my0 = mgeo[:, 0], mgeo[:, 1]
-        mnx0, mny0 = mgeo[:, 2], mgeo[:, 3]
-        mval = mgeo[:, 4]
+
+        def col(k):
+            e = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            basis = (e == k).astype(jnp.float32)
+            return jax.lax.dot_general(
+                mgeo, basis, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # [M, 1]
+
+        mx0, my0 = col(0), col(1)
+        mnx0, mny0 = col(2), col(3)
+        mval = col(4)
+        m2 = mx0 * mx0 + my0 * my0                               # [M, 1]
 
         def nn_pass(T):
-            """Bounded-NN match at pose T: returns transformed moving,
-            correspondent (pf, nf) via one-hot matmul gathers, and d2."""
+            """Bounded-NN match at pose T ([M, 1] column quantities).
+
+            d2 expansion keeps every vector in a clean layout:
+              |p - f|^2 = |m|^2 + 2 (R^T t).m + |t|^2 + |f|^2 - 2 p.f
+              p.f = m.(R^T f) + t.f
+            — [M,1] columns broadcast against [1,TF] rows, and the cross
+            term is two [M,1]x[1,TF] MXU products."""
             c, s = jnp.cos(T[2]), jnp.sin(T[2])
-            px = c * mx0 - s * my0 + T[0]
-            py = s * mx0 + c * my0 + T[1]
+            tx, ty = T[0], T[1]
+            # R^T t
+            a = c * tx + s * ty
+            b = -s * tx + c * ty
+            p2 = m2 + 2.0 * (a * mx0 + b * my0) + (tx * tx + ty * ty)
+            px = c * mx0 - s * my0 + tx
+            py = s * mx0 + c * my0 + ty
             nx = c * mnx0 - s * mny0
             ny = s * mnx0 + c * mny0
-            p2 = px * px + py * py
 
             def scan_tile(t, carry):
                 best_d2, pfx, pfy, nfx, nfy = carry
-                tile = fgeo_ref[pl.ds(t * tile_f, tile_f), :]   # [TF, 8]
-                # plain 1D slices then broadcast (mixed None+int indexing
-                # lowers to an unsupported gather in Mosaic)
-                fxx = tile[:, 0]
-                fxy = tile[:, 1]
-                f2_t = tile[:, 5]
-                # d2 = |p|^2 + |f|^2 - 2 p.f   ([M, TF])
-                cross = px[:, None] * fxx[None, :] + py[:, None] * fxy[None, :]
-                d2 = p2[:, None] + f2_t[None, :] - 2.0 * cross
-                tile_best = jnp.min(d2, axis=1)                  # [M]
-                # one-hot gather of the (first) argmin row -> MXU matmul
-                onehot = (d2 <= tile_best[:, None]).astype(jnp.float32)
-                cnt = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
-                vals = jax.lax.dot_general(
-                    onehot, tile[:, 0:4],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) / cnt[:, None]                                 # [M, 4]
+                tile = fgeo_ref[:, pl.ds(t * tile_f, tile_f)]    # [8, TF]
+                fxx = tile[0:1, :]
+                fxy = tile[1:2, :]
+                f2_t = tile[5:6, :]
+                # R^T f rows
+                fxr = c * fxx + s * fxy
+                fyr = -s * fxx + c * fxy
+                tf = tx * fxx + ty * fxy                         # [1, TF]
+                cross = (
+                    jax.lax.dot_general(
+                        mx0, fxr, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        my0, fyr, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + tf
+                )                                                # [M, TF]
+                d2 = p2 + f2_t - 2.0 * cross
+                tile_best = jnp.min(d2, axis=1, keepdims=True)   # [M, 1]
+                # one-hot gather of the argmin row -> MXU matmuls
+                onehot = (d2 <= tile_best).astype(jnp.float32)
+                cnt = jnp.maximum(jnp.sum(onehot, axis=1, keepdims=True), 1.0)
+
+                def gather(row):                                 # [1,TF]->[M,1]
+                    return jax.lax.dot_general(
+                        onehot, row,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) / cnt
+
                 take = tile_best < best_d2
                 return (
                     jnp.where(take, tile_best, best_d2),
-                    jnp.where(take, vals[:, 0], pfx),
-                    jnp.where(take, vals[:, 1], pfy),
-                    jnp.where(take, vals[:, 2], nfx),
-                    jnp.where(take, vals[:, 3], nfy),
+                    jnp.where(take, gather(tile[0:1, :]), pfx),
+                    jnp.where(take, gather(tile[1:2, :]), pfy),
+                    jnp.where(take, gather(tile[2:3, :]), nfx),
+                    jnp.where(take, gather(tile[3:4, :]), nfy),
                 )
 
-            zero = jnp.zeros((n_moving,), jnp.float32)
-            init = (jnp.full((n_moving,), _BIG, jnp.float32), zero, zero, zero, zero)
+            zero = jnp.zeros((n_moving, 1), jnp.float32)
+            init = (jnp.full((n_moving, 1), _BIG, jnp.float32),
+                    zero, zero, zero, zero)
             best_d2, pfx, pfy, nfx, nfy = jax.lax.fori_loop(
                 0, n_tiles, scan_tile, init
             )
@@ -171,28 +213,40 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
 
         T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
 
-        # final stats at the solution
+        # final stats at the solution: total chi, inlier count, plus the
+        # loop-detector gate ingredients (num_correspondences and the
+        # inlier-only chi sum — MultiLoopDetectorBruteForce2D gates on
+        # inliers / correspondences and mean inlier chi, config :621-634)
         px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
         e1 = nfx * (px - pfx) + nfy * (py - pfy)
         e2 = nx - nfx
         e3 = ny - nfy
-        chi = jnp.where(ok, e1 * e1 + e2 * e2 + e3 * e3, 0.0)
+        chi_pt = e1 * e1 + e2 * e2 + e3 * e3
+        chi = jnp.where(ok, chi_pt, 0.0)
+        inl = ok & (chi_pt < chi_threshold)
         out_t_ref[0, :] = T
         # row store (scalar stores to VMEM are not lowerable)
         out_stats_ref[0, :] = jnp.stack(
-            [jnp.sum(chi), jnp.sum(ok.astype(jnp.float32))]
+            [
+                jnp.sum(chi),
+                jnp.sum(inl.astype(jnp.float32)),
+                jnp.sum(ok.astype(jnp.float32)),
+                jnp.sum(jnp.where(inl, chi_pt, 0.0)),
+            ]
         )
 
     return kernel
 
 
 def _pack_fixed(xy, normal, valid):
+    """[8, F] ROW layout (see kernel layout note)."""
     f = xy.shape[0]
     valid_f = valid.astype(jnp.float32)
     f2 = jnp.sum(xy * xy, axis=1) + jnp.where(valid_f > 0, 0.0, _BIG)
     return jnp.concatenate(
-        [xy, normal, valid_f[:, None], f2[:, None], jnp.zeros((f, 2), jnp.float32)],
-        axis=1,
+        [xy.T, normal.T, valid_f[None, :], f2[None, :],
+         jnp.zeros((2, f), jnp.float32)],
+        axis=0,
     )
 
 
@@ -237,9 +291,15 @@ def fused_align_nn(
     )
     out_t, out_stats = pl.pallas_call(
         kernel,
+        # default scoped-VMEM budget is 16 MiB; the [M, TF] distance tile +
+        # cloud buffers need ~18 MiB at M=2048/TF=512 (same raise as the
+        # stream kernels, ops/pallas_stream.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=(
@@ -253,7 +313,12 @@ def fused_align_nn(
         initial.reshape(1, 3).astype(jnp.float32),
     )
     return FusedAlignResult(
-        estimate=out_t[0], chi=out_stats[0, 0], num_inliers=out_stats[0, 1]
+        estimate=out_t[0],
+        chi=out_stats[0, 0],
+        num_inliers=out_stats[0, 1],
+        num_correspondences=out_stats[0, 2],
+        chi_inliers=out_stats[0, 3]
+        / jnp.maximum(out_stats[0, 1], 1.0),
     )
 
 
@@ -264,3 +329,39 @@ def fused_align_cloud(fixed, moving, initial, **kw) -> FusedAlignResult:
         moving.xy, moving.normal, moving.valid,
         initial, **kw,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "max_distance", "normal_cos",
+                     "chi_threshold", "min_inliers", "tile_f", "interpret"),
+)
+def fused_align_pairs(
+    fixed, moving, initials,
+    iterations: int = 30,
+    max_distance: float = 1.414,
+    normal_cos: float = 0.8,
+    chi_threshold: float = 0.05,
+    min_inliers: int = 10,
+    tile_f: int = 512,
+    interpret: bool = False,
+) -> FusedAlignResult:
+    """J independent (fixed, moving) Cloud pairs through the fused NN-ICP
+    kernel as ONE program (lax.map over pairs — each pair is a single
+    kernel launch, so J launches replace the XLA path's ~J*500 dispatched
+    ops). The loop-closure detection backend of the chunked SLAM loop
+    (models/chunked_slam.py, LoopDetectorConfig.backend='fused_nn'):
+    candidate alignment is the CorrespondenceFinderKDTree2D-role bounded-NN
+    model rather than the beam-projective finder — same residuals, same
+    gate surface (inliers / correspondences / mean inlier chi)."""
+
+    def one(args):
+        f, m, t0 = args
+        return fused_align_nn(
+            f.xy, f.normal, f.valid, m.xy, m.normal, m.valid, t0,
+            iterations=iterations, max_distance=max_distance,
+            normal_cos=normal_cos, chi_threshold=chi_threshold,
+            min_inliers=min_inliers, tile_f=tile_f, interpret=interpret,
+        )
+
+    return jax.lax.map(one, (fixed, moving, initials))
