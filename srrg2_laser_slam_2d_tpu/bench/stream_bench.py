@@ -48,6 +48,13 @@ def build_inputs(frames: int, num_beams: int = 721):
     spec = FrameSpec(
         scene_capacity=4096, projection=match_proj, iterations=10,
         odom_weight=1.0, meas_as_canvas=True,
+        # r5 roofline ladder (BENCH_NOTES r5): window=128 halves the
+        # VPU-bound hot-matrix band, corr_refresh=2 reuses each banded
+        # gather for two GN updates (trajectory-equivalence:
+        # tests/test_chunked_slam.py corr_refresh test). Kernel-only ladder
+        # 254k -> 511k scans/s (refresh=5); the serving default stays at
+        # the conservative refresh=2
+        window=128, corr_refresh=2,
     )
     meas_stack = pipeline.preprocess_batch(ds.projection, pcfg,
                                            jnp.asarray(ds.ranges))

@@ -123,6 +123,15 @@ class FrameSpec:
     # does not fit (onehot K=64 at window 256 fails to compile on v5e).
     stream_gather: str = "onehot"
     stream_band_shift: int = 64
+    # K-stream kernel only — correspondence refresh period: the banded
+    # canvas gather (the VPU-bound one-hot hot-matrix build, ~60% of the
+    # kernel per the r4 roofline) runs every `corr_refresh` GN iterations;
+    # in between, updates reuse the FROZEN correspondences (classic
+    # fixed-correspondence ICP inner steps — the moving side and all gates
+    # are still re-evaluated at the current pose). 1 = rebuild every
+    # iteration (exact r4 semantics, the parity default); 2 = serving
+    # (trajectory-equivalence verified in tests/test_stream_batch.py)
+    corr_refresh: int = 1
 
     @property
     def cols_padded(self) -> int:

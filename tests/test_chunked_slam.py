@@ -153,3 +153,52 @@ def test_chunked_runner_message_surface():
     end = runner.trajectory[-1][1]
     err = np.abs(end - ds.robot_poses[-1])
     assert err[:2].max() < 0.15, err
+
+
+def test_stream_corr_refresh_trajectory_equivalent():
+    """FrameSpec.corr_refresh=2 (one banded gather feeding two
+    frozen-correspondence GN updates — the r5 roofline lever) stays
+    trajectory-equivalent to per-iteration refresh on the stream kernel."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from srrg2_laser_slam_2d_tpu.bench import pipeline, synthetic
+    from srrg2_laser_slam_2d_tpu.models import fast_tracker as ft
+    from srrg2_laser_slam_2d_tpu.models.preprocessor import PreprocessorConfig
+    from srrg2_laser_slam_2d_tpu.ops import pallas_stream as ps
+    from srrg2_laser_slam_2d_tpu.ops.pallas_frame import FrameSpec
+    from srrg2_laser_slam_2d_tpu.ops.projector import PolarProjection
+
+    proj = PolarProjection.make(cols=361, angle_min=-np.pi, angle_max=np.pi,
+                                range_min=0.3, range_max=20.0)
+    spec = FrameSpec(scene_capacity=512, projection=proj, iterations=6,
+                     odom_weight=1.0, meas_as_canvas=True)
+    pcfg = PreprocessorConfig(voxelize_resolution=0.02, normal_window=8)
+    ds = synthetic.simulate(synthetic.SyntheticConfig(steps=12, num_beams=361))
+    stack = pipeline.preprocess_batch(ds.projection, pcfg,
+                                      jnp.asarray(ds.ranges))
+    od = jnp.asarray(ds.robot_poses)
+    st = ft.seed(spec, jax.tree.map(lambda x: x[0], stack),
+                 np.array(ds.config.sensor_in_robot, np.float32), odom=od[0])
+    measC = ft.pack_measurement_canvas_batch(
+        spec, jax.tree.map(lambda x: x[1:], stack))
+    K = 2
+    cacheB, poseB = ps.pack_stream_state(
+        jnp.broadcast_to(st.cacheT, (K,) + st.cacheT.shape),
+        jnp.broadcast_to(st.pose, (K,) + st.pose.shape))
+    mC, oS = ps.pack_stream_measurements(
+        jnp.broadcast_to(measC, (K,) + measC.shape),
+        jnp.broadcast_to(od[1:], (K,) + od[1:].shape))
+
+    poses = {}
+    for refresh in (1, 2, 5):
+        sp = dataclasses.replace(spec, corr_refresh=refresh)
+        _, pB, _ = ps.track_streams_grid(sp, cacheB, poseB, mC, oS,
+                                         interpret=True)
+        poses[refresh] = np.asarray(pB[:, 0:3])
+    for refresh in (2, 5):
+        d = np.abs(poses[1] - poses[refresh])
+        assert d[:, :2].max() < 0.02, (refresh, d)
+        assert d[:, 2].max() < 0.02, (refresh, d)
