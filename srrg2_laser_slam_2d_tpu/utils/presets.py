@@ -86,6 +86,12 @@ config_mod.register(
         "aggressive_relocalize_range_increase_per_edge": "chi2 range increase per graph edge",
         "max_candidates": "static batch size of the parallel candidate alignment",
         "aligner": "aligner used to register loop closures",
+        "backend": "candidate-alignment backend: projective (XLA parity "
+                   "path) or fused_nn (one-kernel bounded-NN ICP, TPU "
+                   "serving path of the chunked loop)",
+        "detection_capacity": "chunked-loop alignment point capacity "
+                              "(0 = live-count bucket); align cost is "
+                              "O(capacity)",
     },
 )
 config_mod.register(

@@ -4,10 +4,11 @@ reference's dataset-tier tests: exact first-scan adapted-point counts
 (test_measurement_adaptor.cpp:70,104) and a dataset-slice tracking run with
 graph-topology checks (test_slam.cpp:65-66). The FULL 2,871-frame gated run
 (committed inputs bench/data/corridor.jsonl + corridor_gt.tum) is executed
-on TPU via  generic_bench_app -i bench/data/corridor.jsonl --gt
-bench/data/corridor_gt.tum --gate corridor ; its recorded verdict/ATE/timing
-artifact is bench/results/corridor_r04.json (with the TUM trajectory
-alongside).
+on TPU via  python -m srrg2_laser_slam_2d_tpu.bench.corridor_e2e  (the
+release gate: exit code carries ATE + closures-accepted semantics, cold AND
+warm passes, in-session C++ e2e comparison); its recorded artifact is
+bench/results/corridor_r05.json (TUM trajectory alongside), validated by
+test_corridor_r05_artifact_is_a_passing_closure_run below.
 """
 
 import numpy as np
@@ -116,3 +117,32 @@ def test_corridor_slice_tracks(corridor_slice):
     # scan matching must beat raw odometry over the slice
     odo_err = np.linalg.norm((odom[len(ranges) - 1] - gt[len(ranges) - 1])[:2])
     assert np.linalg.norm(err[:2]) < min(0.3, odo_err + 0.05), (err, odo_err)
+
+
+def test_corridor_r05_artifact_is_a_passing_closure_run():
+    """Release-gate record (VERDICT r4 task #8): the committed corridor
+    acceptance artifact must be a PASS with loop closures actually accepted
+    (the r4 review found a passing artifact that had silently closed zero
+    loops) and full provenance. The artifact is (re)produced on TPU by
+
+        python -m srrg2_laser_slam_2d_tpu.bench.corridor_e2e \
+            --out bench/results/corridor_r05.json
+
+    whose exit code carries the benchmark_carmen.cpp:57-64 gate semantics
+    (nonzero on ATE regression OR a closure-free graph)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "bench", "results", "corridor_r05.json")
+    with open(path) as f:
+        a = json.load(f)
+    assert a["verdict"] == "PASS"
+    assert a["loop_closures_accepted"]
+    head = a["warm"]
+    assert head["graph_factors"] > head["graph_variables"] - 1
+    assert head["gate_verdict"] == "PASS"
+    for key in ("backend", "device", "config", "commit", "mode"):
+        assert a.get(key), key
+    assert a["cpp_e2e_baseline"]["fps"] > 0
+    assert a["warm_lean_parity"]["gate_verdict"] == "PASS"
