@@ -493,12 +493,9 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
 
         dcfg = self.detector.cfg
         poses = self._poses_host
-        jobs: list[tuple[int, int]] = []
-        for q in queries:
-            for m in self.detector.selector.select(
-                q, poses, self.n_maps, self.adjacency
-            ):
-                jobs.append((q, m))
+        jobs = self.detector.selector.select_many(
+            queries, poses, self.n_maps, self.adjacency
+        )
         if not jobs:
             return []
         cap = self.tracker.spec.scene_capacity
