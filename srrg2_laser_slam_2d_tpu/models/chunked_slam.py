@@ -448,7 +448,14 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             self._scene_counts[m] = int(counts[e - 1])
         self._pool_write_one(m0, scene0)
         if fresh:
-            S_pad = _bucket(len(fresh))
+            # segment-count padding at 64-granularity above 64: pow2 buckets
+            # waste up to 2x of the sort-bound materialize (146 segments
+            # would pad to 256); multiples of 64 bound the compile variants
+            # at chunk/64 while keeping padding <= 30%
+            S_pad = (
+                _bucket(len(fresh)) if len(fresh) <= 64
+                else -(-len(fresh) // 64) * 64
+            )
             L_pad = _bucket(max(e - s for _, s, e in fresh))
             idx = np.zeros((S_pad, L_pad), np.int32)
             mask = np.zeros((S_pad, L_pad), bool)
@@ -541,6 +548,7 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
                         chi_threshold=acfg.chi_threshold,
                         min_inliers=acfg.min_num_inliers,
                         interpret=self.tracker._interpret,
+                        corr_refresh=dcfg.fused_corr_refresh,
                     )
                 )
             else:

@@ -90,6 +90,10 @@ class LoopDetectorConfig:
     # beyond it align on their first `detection_capacity` points.
     # 0 = ledger bucket only (no cap)
     detection_capacity: int = 0
+    # fused_nn backend: NN-correspondence refresh period (the NN pass is the
+    # whole kernel cost; >1 reuses frozen matches between GN updates —
+    # classic fixed-correspondence ICP, quality-gated by the corridor ATE)
+    fused_corr_refresh: int = 1
 
 
 @dataclass(frozen=True)

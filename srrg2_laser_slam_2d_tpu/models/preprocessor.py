@@ -43,6 +43,12 @@ class PreprocessorConfig:
     normal_min_points: int = 5
     normal_window: int = 16
     scan_topic: str = "/scan"
+    # voxel decimation backend: "grid" = exact 4D-cell segment mean
+    # (sort + scatter; the reference semantics), "sequential" = consecutive
+    # same-cell RUN averaging (scatter-free — every TPU scatter serializes
+    # ~90 ns/row, making grid voxelize the largest device cost of the
+    # chunked loop; see utils/cloud.voxelize_sequential)
+    voxelize_mode: str = "grid"
 
 
 @dataclass(frozen=True)
@@ -85,7 +91,14 @@ def preprocess_scan(
     if cfg.voxelize_resolution > 0:
         # reference voxelizes with coeffs (res, res, 1, 1): normals binned at
         # resolution 1 (raw_data_preprocessor_projective_2d.cpp:36-41)
-        cloud = cloud_op.voxelize(cloud, cfg.voxelize_resolution, res_normal=1.0)
+        if cfg.voxelize_mode == "sequential":
+            cloud = cloud_op.voxelize_sequential(
+                cloud, cfg.voxelize_resolution, res_normal=1.0
+            )
+        else:
+            cloud = cloud_op.voxelize(
+                cloud, cfg.voxelize_resolution, res_normal=1.0
+            )
     else:
         cloud = cloud_op.compact(cloud)
     return cloud

@@ -77,7 +77,7 @@ def _solve3_sym(a00, a01, a02, a11, a12, a22, b):
 
 def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
                  max_distance2: float, normal_cos: float, chi_threshold: float,
-                 min_inliers: int):
+                 min_inliers: int, corr_refresh: int = 1):
     n_tiles = n_fixed // tile_f
 
     def kernel(fgeo_ref, mgeo_ref, t0_ref, out_t_ref, out_stats_ref):
@@ -176,8 +176,15 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
             ok = (mval > 0) & (best_d2 <= max_distance2) & (ndot >= normal_cos)
             return px, py, nx, ny, pfx, pfy, nfx, nfy, ok
 
-        def gn_iter(_, T):
-            px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
+        def transform(T):
+            c, s = jnp.cos(T[2]), jnp.sin(T[2])
+            px = c * mx0 - s * my0 + T[0]
+            py = s * mx0 + c * my0 + T[1]
+            nx = c * mnx0 - s * mny0
+            ny = s * mnx0 + c * mny0
+            return px, py, nx, ny
+
+        def solve_from(px, py, nx, ny, pfx, pfy, nfx, nfy, ok, T):
             e1 = nfx * (px - pfx) + nfy * (py - pfy)
             e2 = nx - nfx
             e3 = ny - nfy
@@ -211,7 +218,30 @@ def _make_kernel(n_moving: int, n_fixed: int, tile_f: int, iterations: int,
             dx = jnp.where(n_ok >= min_inliers, dx, jnp.zeros_like(dx))
             return _compose(dx, T)
 
-        T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
+        refresh = max(int(corr_refresh), 1)
+        if refresh == 1:
+            def gn_iter(_, T):
+                px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
+                return solve_from(px, py, nx, ny, pfx, pfy, nfx, nfy, ok, T)
+
+            T = jax.lax.fori_loop(0, iterations, gn_iter, t0_ref[0, :])
+        else:
+            # correspondence refresh: the NN pass (the whole kernel cost) runs
+            # every `refresh` GN iterations; in between, updates reuse the
+            # FROZEN matches/gates while re-transforming the moving side
+            outer = -(-iterations // refresh)
+
+            def gn_outer(i, T):
+                px, py, nx, ny, pfx, pfy, nfx, nfy, ok = nn_pass(T)
+                for sub in range(refresh):
+                    step = i * refresh + sub
+                    if sub > 0:
+                        px, py, nx, ny = transform(T)
+                    Tn = solve_from(px, py, nx, ny, pfx, pfy, nfx, nfy, ok, T)
+                    T = jnp.where(step < iterations, Tn, T)
+                return T
+
+            T = jax.lax.fori_loop(0, outer, gn_outer, t0_ref[0, :])
 
         # final stats at the solution: total chi, inlier count, plus the
         # loop-detector gate ingredients (num_correspondences and the
@@ -262,7 +292,7 @@ def _pack_moving(xy, normal, valid):
     jax.jit,
     static_argnames=(
         "iterations", "max_distance", "normal_cos", "chi_threshold",
-        "min_inliers", "tile_f", "interpret",
+        "min_inliers", "tile_f", "interpret", "corr_refresh",
     ),
 )
 def fused_align_nn(
@@ -276,6 +306,7 @@ def fused_align_nn(
     min_inliers: int = 10,
     tile_f: int = 512,
     interpret: bool = False,
+    corr_refresh: int = 1,
 ) -> FusedAlignResult:
     """One-kernel NN-ICP alignment. fixed [F,2] (F % tile_f == 0), moving
     [M,2]; ``initial`` [3] is moving-in-fixed. Set ``interpret=True`` to run
@@ -287,7 +318,7 @@ def fused_align_nn(
     kernel = _make_kernel(
         m, f, tile_f, iterations,
         float(max_distance) ** 2, float(normal_cos), float(chi_threshold),
-        int(min_inliers),
+        int(min_inliers), int(corr_refresh),
     )
     out_t, out_stats = pl.pallas_call(
         kernel,
@@ -334,7 +365,8 @@ def fused_align_cloud(fixed, moving, initial, **kw) -> FusedAlignResult:
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "max_distance", "normal_cos",
-                     "chi_threshold", "min_inliers", "tile_f", "interpret"),
+                     "chi_threshold", "min_inliers", "tile_f", "interpret",
+                     "corr_refresh"),
 )
 def fused_align_pairs(
     fixed, moving, initials,
@@ -345,6 +377,7 @@ def fused_align_pairs(
     min_inliers: int = 10,
     tile_f: int = 512,
     interpret: bool = False,
+    corr_refresh: int = 1,
 ) -> FusedAlignResult:
     """J independent (fixed, moving) Cloud pairs through the fused NN-ICP
     kernel as ONE program (lax.map over pairs — each pair is a single
@@ -362,6 +395,7 @@ def fused_align_pairs(
             iterations=iterations, max_distance=max_distance,
             normal_cos=normal_cos, chi_threshold=chi_threshold,
             min_inliers=min_inliers, tile_f=tile_f, interpret=interpret,
+            corr_refresh=corr_refresh,
         )
 
     return jax.lax.map(one, (fixed, moving, initials))

@@ -198,3 +198,54 @@ def voxelize(cloud: Cloud, res_xy: float, res_normal: float = 1.0) -> Cloud:
     mean_nm = jnp.where(norm > 1e-12, mean_nm / jnp.maximum(norm, 1e-12), mean_nm)
     valid = cnt > 0
     return Cloud(mean_xy, mean_nm, valid)
+
+
+def voxelize_sequential(cloud: Cloud, res_xy: float,
+                        res_normal: float = 1.0) -> Cloud:
+    """Scatter-free voxel decimation for SCAN-ORDERED clouds.
+
+    TPU finding (r5): EVERY non-trivial scatter on this chip serializes at
+    ~90 ns per source row, so the grid ``voxelize``'s segment-mean
+    scatter-adds cost ~150 ms per 1024-scan preprocessing batch — the
+    single largest device cost of the chunked SLAM loop. A laser scan is
+    angularly ordered, so points sharing a voxel cell are (almost always)
+    CONSECUTIVE beams; averaging consecutive same-cell RUNS needs only
+    cumsum + boundary detection + one forward-fill gather — no sort, no
+    scatter. Delta vs the grid version: a cell revisited by non-adjacent
+    beams (grazing surfaces, corner wrap) keeps one point per run instead
+    of one per cell — slightly less decimation, identical geometry
+    (corridor: +0.7% points, ATE unchanged; tests/test_preprocessing.py).
+    Output keeps the input capacity with ``valid`` at the last row of each
+    run (masked, NOT compacted)."""
+    n = cloud.capacity
+    inv = 1.0 / res_xy
+    inv_n = 1.0 / res_normal
+    cx = jnp.floor(cloud.xy[:, 0] * inv).astype(jnp.int32)
+    cy = jnp.floor(cloud.xy[:, 1] * inv).astype(jnp.int32)
+    cnx = jnp.floor(cloud.normal[:, 0] * inv_n).astype(jnp.int32)
+    cny = jnp.floor(cloud.normal[:, 1] * inv_n).astype(jnp.int32)
+    v = cloud.valid
+    same = (
+        (cx[1:] == cx[:-1]) & (cy[1:] == cy[:-1])
+        & (cnx[1:] == cnx[:-1]) & (cny[1:] == cny[:-1])
+        & v[1:] & v[:-1]
+    )
+    start = jnp.concatenate([jnp.array([True]), ~same])
+    last = jnp.concatenate([~same, jnp.array([True])])
+    ones = v.astype(jnp.float32)
+    vals = jnp.concatenate(
+        [cloud.xy * ones[:, None], cloud.normal * ones[:, None],
+         ones[:, None]], axis=1,
+    )                                                        # [n, 5]
+    pref = jnp.cumsum(vals, axis=0)
+    base_at_start = pref - vals
+    ff = jax.lax.cummax(jnp.where(start, jnp.arange(n), -1))
+    totals = pref - base_at_start[ff]                        # run totals at last
+    cntr = jnp.maximum(totals[:, 4:5], 1.0)
+    mean_xy = totals[:, 0:2] / cntr
+    mean_nm = totals[:, 2:4] / cntr
+    norm = jnp.linalg.norm(mean_nm, axis=-1, keepdims=True)
+    mean_nm = jnp.where(norm > 1e-12, mean_nm / jnp.maximum(norm, 1e-12),
+                        mean_nm)
+    valid = last & v
+    return Cloud(mean_xy, mean_nm, valid)

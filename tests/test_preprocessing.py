@@ -124,3 +124,41 @@ def test_project_unproject_roundtrip():
     d = np.linalg.norm(got[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
     beam_step = (proj.angle_max - proj.angle_min) / proj.cols
     assert np.all(d <= 9.0 * beam_step + 1e-3), d.max()
+
+
+def test_sequential_voxelize_matches_grid_on_scan():
+    """voxelize_sequential (the scatter-free TPU fast path) vs the exact
+    grid voxelize on a scan-ordered cloud: near-identical point counts
+    (runs == cells except non-adjacent revisits) and identical geometry for
+    cells formed from one run."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from srrg2_laser_slam_2d_tpu.utils import cloud as cloud_op
+    from srrg2_laser_slam_2d_tpu.utils.cloud import Cloud
+
+    rng = np.random.default_rng(3)
+    # synthetic scan: smooth range profile -> angularly ordered points
+    a = np.linspace(-np.pi / 2, np.pi / 2, 721).astype(np.float32)
+    r = (4.0 + 0.5 * np.sin(3 * a) + rng.normal(scale=0.002, size=a.shape)
+         ).astype(np.float32)
+    xy = np.stack([r * np.cos(a), r * np.sin(a)], 1)
+    nm = np.stack([-np.cos(a), -np.sin(a)], 1).astype(np.float32)
+    valid = np.ones(721, bool)
+    valid[100:110] = False  # a dropout gap
+    c = Cloud(jnp.asarray(xy), jnp.asarray(nm), jnp.asarray(valid))
+
+    g = cloud_op.voxelize(c, 0.05, res_normal=1.0)
+    s = cloud_op.voxelize_sequential(c, 0.05, res_normal=1.0)
+    ng = int(np.asarray(g.count()))
+    ns = int(np.asarray(s.count()))
+    assert ng <= ns <= ng * 1.05, (ng, ns)  # runs >= cells, within 5%
+    # every sequential output point must match a grid output point exactly
+    gxy = np.asarray(g.xy)[np.asarray(g.valid)]
+    sxy = np.asarray(s.xy)[np.asarray(s.valid)]
+    d = np.abs(sxy[:, None, :] - gxy[None, :, :]).sum(-1).min(1)
+    # prefix-sum accumulation differs from direct summation at f32 roundoff
+    # (~1e-5 on metre-scale coords — far under the 0.02 m voxel); run-split
+    # revisited cells differ by construction, hence the median
+    assert np.median(d) < 1e-4, np.median(d)
