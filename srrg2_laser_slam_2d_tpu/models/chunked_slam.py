@@ -558,13 +558,25 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
                         jnp.asarray(initials),
                     )
                 )
-        n_inl = np.concatenate([np.asarray(r.num_inliers) for r in results])
-        n_cor = np.concatenate(
-            [np.asarray(r.num_correspondences) for r in results]
+        # ONE packed device->host fetch for all batches (each separate
+        # np.asarray pays the ~24 ms tunnel completion poll)
+        packed = np.asarray(jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        r.num_inliers[:, None].astype(jnp.float32),
+                        r.num_correspondences[:, None].astype(jnp.float32),
+                        r.chi_inliers[:, None].astype(jnp.float32),
+                        r.estimate,
+                    ],
+                    axis=1,
+                )
+                for r in results
+            ]
+        ))
+        return lc.gate_candidates(
+            dcfg, jobs, packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3:6]
         )
-        chi_in = np.concatenate([np.asarray(r.chi_inliers) for r in results])
-        est = np.concatenate([np.asarray(r.estimate) for r in results])
-        return lc.gate_candidates(dcfg, jobs, n_inl, n_cor, chi_in, est)
 
     def _chunk_closure_round(self, new_maps: list[int]) -> None:
         import time as _t
