@@ -244,6 +244,10 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
 
     @property
     def poses_np(self) -> np.ndarray:
+        if getattr(self, "_pending_poses", None) is not None:
+            dev_poses, nm = self._pending_poses
+            self._pending_poses = None
+            self._poses_host = np.asarray(dev_poses)[:nm]
         return self._poses_host
 
     def robot_in_world(self) -> np.ndarray:
@@ -314,7 +318,14 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
             )
         else:
             solved, chi, iters = pgo.optimize(self.cfg.global_solver, g)
-        self._poses_host = np.asarray(solved.poses)[: self.n_maps]
+        if self.cfg.enable_relocalizer:
+            # relocalization reads poses right after the solve
+            self._poses_host = np.asarray(solved.poses)[: self.n_maps]
+        else:
+            # defer the device->host pose fetch to the NEXT chunk's harvest
+            # sync (saves the ~24 ms completion poll per solve and lets the
+            # solve overlap the next chunk's dispatches)
+            self._pending_poses = (solved.poses, self.n_maps)
 
     # ---- main entry ---------------------------------------------------------
     def process(self, measurement, odom=None) -> None:  # pragma: no cover
@@ -382,6 +393,10 @@ class ChunkedGraphSLAM2D(GraphSLAM2D):
 
         # ---- THE chunk sync: [T, 12] stats (poses, split flags, counts) ----
         stats = np.asarray(payloads[:, 6, :12])
+        if getattr(self, "_pending_poses", None) is not None:
+            dev_poses, nm = self._pending_poses
+            self._pending_poses = None
+            self._poses_host = np.asarray(dev_poses)[:nm]  # complete by now
         t0 = self._phase("track", t0)
         if n_g <= 0:
             return np.zeros((0, 3), np.float32)

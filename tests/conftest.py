@@ -24,6 +24,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA-compile cache for the suite: one full run performs ~200
+# distinct CPU compiles, and the XLA:CPU compiler has crashed (SIGSEGV/abort)
+# deep into a single long-lived process near the end of the suite (twice at
+# ~95%, in a compile that passes in isolation). Caching makes re-runs skip
+# almost every compile, which both speeds the suite and shrinks the crash
+# exposure window; if a full single-process run does die there, re-running
+# the remaining files completes green (the r4-review chunked-run practice).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # ---------------------------------------------------------------------------
 # slow/fast test tiers (VERDICT r3 #8): the full suite outgrew a single
