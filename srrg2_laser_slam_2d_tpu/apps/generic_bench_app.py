@@ -72,6 +72,15 @@ def main(argv=None) -> int:
             chunk=args.chunked,
         )
     else:
+        import jax as _jax_hint
+
+        if _jax_hint.default_backend() == "tpu":
+            print(
+                "note: the per-message loop pays a host sync per frame; on "
+                "TPU the chunk-batched loop (--chunked 256) runs the same "
+                "pipeline at device speed (BENCH_NOTES.md r5)",
+                file=sys.stderr,
+            )
         runner = SlamRunner(
             slam_config=slam_cfg or presets.laser0_slam(),
             preprocessor_config=pre_cfg or presets.laser0_preprocessor(),
