@@ -23,15 +23,31 @@ from ..utils import config as config_mod
 from ..utils import presets
 
 
-def build_runner(args) -> SlamRunner:
+def build_runner(args):
+    chunked = getattr(args, "chunked", 0)
+
+    def make(slam_cfg, pre_cfg, **kw):
+        if chunked:
+            # chunk-batched device-speed loop (models/chunked_slam.py);
+            # single-cue configs only
+            from ..models.chunked_slam import ChunkedSlamRunner
+
+            return ChunkedSlamRunner(
+                slam_config=slam_cfg, preprocessor_config=pre_cfg,
+                chunk=chunked, scan_topic=kw.get("scan_topic"),
+                odom_topic=kw.get("odom_topic", "/odom"),
+            )
+        return SlamRunner(slam_config=slam_cfg, preprocessor_config=pre_cfg,
+                          **kw)
+
     if getattr(args, "boss_config", None):
         # ingest the reference's shipped BOSS assembly directly
         from ..io import boss_config
 
         g = boss_config.load(args.boss_config)
-        return SlamRunner(
-            slam_config=boss_config.to_slam_config(g),
-            preprocessor_config=boss_config.to_preprocessor_config(g),
+        return make(
+            boss_config.to_slam_config(g),
+            boss_config.to_preprocessor_config(g),
             scan_topic=args.scan_topic,
             odom_topic=args.odom_topic,
             sensor_frame=args.sensor_frame,
@@ -49,9 +65,9 @@ def build_runner(args) -> SlamRunner:
     else:
         slam_cfg = presets.laser0_slam()
         pre_cfg = presets.laser0_preprocessor()
-    return SlamRunner(
-        slam_config=slam_cfg,
-        preprocessor_config=pre_cfg,
+    return make(
+        slam_cfg,
+        pre_cfg,
         scan_topic=args.scan_topic,
         odom_topic=args.odom_topic,
         sensor_frame=args.sensor_frame,
@@ -79,6 +95,9 @@ def main(argv=None) -> int:
     ap.add_argument("--sensor-frame", default="scan")
     ap.add_argument("--base-frame", default="base_frame")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--chunked", type=int, default=0, metavar="N",
+                    help="chunk-batched device-speed loop: N frames per "
+                         "device dispatch (0 = per-message loop)")
     args = ap.parse_args(argv)
 
     if args.generate_config:
